@@ -1,0 +1,124 @@
+"""Cloud container ops + voxel downsample / hash-grid kNN vs brute force."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tloam_tpu.cloud import Cloud
+from tloam_tpu.ops import se3, voxel
+
+
+def make_cloud(rng, n=200, cap=256, scale=10.0):
+    xyz = rng.normal(size=(n, 3)) * scale
+    inten = rng.uniform(size=(n,))
+    return Cloud.from_numpy(xyz, inten, capacity=cap), xyz, inten
+
+
+def test_cloud_pad_and_count(rng):
+    c, xyz, _ = make_cloud(rng)
+    assert c.capacity == 256
+    assert int(c.count()) == 200
+    assert np.allclose(np.asarray(c.xyz)[:200], xyz.astype(np.float32))
+
+
+def test_cloud_transform_roundtrip(rng):
+    c, xyz, _ = make_cloud(rng)
+    T = se3.exp(jnp.asarray(rng.normal(size=6) * 0.3))
+    back = c.transform(T).transform(se3.inv(T))
+    assert np.allclose(np.asarray(back.xyz)[:200], xyz, atol=1e-9)
+
+
+def test_cloud_masks(rng):
+    c, xyz, _ = make_cloud(rng)
+    c2 = c.remove_close(5.0)
+    keep = (np.linalg.norm(xyz, axis=-1) > 5.0).sum()
+    assert int(c2.count()) == keep
+    c3 = c.crop_aabb(jnp.asarray([-5.0, -5, -5]), jnp.asarray([5.0, 5, 5]))
+    inside = np.all(np.abs(xyz) <= 5.0, axis=-1).sum()
+    assert int(c3.count()) == inside
+
+
+def test_cloud_compact(rng):
+    c, xyz, _ = make_cloud(rng)
+    c = c.mask(jnp.asarray(np.arange(256) % 2 == 0))
+    cc = c.compact(128)
+    assert int(cc.count()) == int(c.count())
+    # order-preserving gather of valid slots
+    want = np.asarray(c.xyz)[np.asarray(c.valid)]
+    got = np.asarray(cc.xyz)[np.asarray(cc.valid)]
+    assert np.allclose(got, want)
+
+
+def test_cloud_concat(rng):
+    a, _, _ = make_cloud(rng, 50, 64)
+    b, _, _ = make_cloud(rng, 30, 64)
+    ab = a.concat(b)
+    assert ab.capacity == 128
+    assert int(ab.count()) == 80
+
+
+def test_voxel_downsample_vs_bruteforce(rng):
+    n = 500
+    xyz = rng.uniform(-4, 4, size=(n, 3)).astype(np.float32)
+    inten = rng.uniform(size=(n,)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[450:] = False
+    vs = 1.0
+    out_xyz, out_int, out_valid = jax.jit(
+        lambda a, b, c: voxel.voxel_downsample(a, b, c, vs, 600)
+    )(jnp.asarray(xyz), jnp.asarray(inten), jnp.asarray(valid))
+    out_xyz = np.asarray(out_xyz)[np.asarray(out_valid)]
+    out_int = np.asarray(out_int)[np.asarray(out_valid)]
+
+    # brute force reference
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i in range(450):
+        key = tuple(np.floor(xyz[i] / vs).astype(int))
+        groups[key].append(i)
+    ref = {
+        k: (xyz[v].mean(0), inten[v].mean()) for k, v in groups.items()
+    }
+    assert len(out_xyz) == len(ref)
+    # match by voxel key
+    for p, it in zip(out_xyz, out_int):
+        key = tuple(np.floor(p / vs + 1e-6).astype(int))
+        assert key in ref, key
+        assert np.allclose(p, ref[key][0], atol=1e-5)
+        assert np.allclose(it, ref[key][1], atol=1e-5)
+
+
+def test_hash_grid_knn_vs_bruteforce(rng):
+    m, q, k, radius = 400, 100, 5, 0.7
+    pts = rng.uniform(-3, 3, size=(m, 3))
+    pvalid = np.ones(m, bool)
+    pvalid[380:] = False
+    queries = rng.uniform(-3, 3, size=(q, 3))
+
+    grid = voxel.build_hash_grid(jnp.asarray(pts), jnp.asarray(pvalid), radius)
+    idx, dist, ok = jax.jit(
+        lambda g, qq: voxel.query_knn(g, qq, jnp.ones(q, bool), k, max_per_cell=16)
+    )(grid, jnp.asarray(queries))
+    idx, dist, ok = np.asarray(idx), np.asarray(dist), np.asarray(ok)
+
+    # brute force within radius
+    d2 = ((queries[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    d2[:, ~pvalid] = np.inf
+    for i in range(q):
+        want = np.sort(d2[i][d2[i] <= radius * radius])[:k]
+        got = np.sort(dist[i][ok[i]])
+        assert len(got) == len(want), (i, len(got), len(want))
+        assert np.allclose(got, want, atol=1e-9)
+        # indices actually point at the right distances
+        for j in range(k):
+            if ok[i, j]:
+                assert np.isclose(((queries[i] - pts[idx[i, j]]) ** 2).sum(), dist[i, j])
+
+
+def test_hash_grid_invalid_queries(rng):
+    pts = rng.uniform(-1, 1, size=(50, 3))
+    grid = voxel.build_hash_grid(jnp.asarray(pts), jnp.ones(50, bool), 0.5)
+    _, _, ok = voxel.query_knn(
+        grid, jnp.asarray(pts[:10]), jnp.zeros(10, bool), 3
+    )
+    assert not np.any(np.asarray(ok))

@@ -1,0 +1,135 @@
+"""Dataclass configuration mirroring the reference's four YAML files.
+
+Reference config files (loaded via WORK_SPACE_PATH, work_space_path.h.in:14):
+  config/kitti/kitti_reader.yaml      -> DataConfig
+  config/mapping/segmentation.yaml    -> SensorConfig, GroundSegConfig, DCVCConfig
+  config/mapping/feature.yaml         -> FeatureConfig
+  config/mapping/lidar_odometry.yaml  -> OdometryConfig, TLSConfig
+
+Defaults are the reference's shipped values (cited per field). All fields are
+static hyper-parameters: configs are hashable and passed as static arguments
+to jitted functions, so changing one triggers a recompile (intended).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """velodyne: block of segmentation.yaml."""
+
+    sensor_model: int = 64  # HDL-64E
+    scan_period: float = 0.1  # 10 Hz
+    sensor_height: float = 1.73
+    vertical_res: float = 0.4
+    init_angle: float = -24.9
+    sensor_min_range: float = 1.0
+    sensor_max_range: float = 120.0
+    near_dis: float = 3.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundSegConfig:
+    """groundSeg: block of segmentation.yaml."""
+
+    quadrant: int = 4
+    num_sec: int = 3
+    dis: float = 0.3
+    max_iter: int = 3
+    ground_seed_num: int = 20
+    ring_min_num: int = 131
+
+
+@dataclasses.dataclass(frozen=True)
+class DCVCConfig:
+    """DCVC: block of segmentation.yaml."""
+
+    start_r: float = 0.35
+    delta_r: float = 0.0004
+    delta_p: float = 1.2
+    delta_a: float = 1.2
+    min_seg: int = 80
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """feature.yaml (PCA planar/sphere extraction)."""
+
+    radius: float = 0.2
+    k: int = 20
+    min_neigh: int = 10
+    planar_num: int = 500
+    sphere_num: int = 300
+    cvr_scan: float = 0.25
+    cvr_submap: float = 0.15
+    planar_scan_thres: float = 0.75
+    planar_submap_thres: float = 0.65
+    planar_vertic_thres: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class TLSConfig:
+    """TLS: block of lidar_odometry.yaml — the solver hyper-parameters."""
+
+    k_corr: int = 10
+    factor_num: int = 4  # 2=planar+ground, 3=+edge, 4=+sphere
+    edge_dist_thres: float = 1.0
+    edge_dir_thres: float = 0.85
+    edge_maxnum: int = 1200
+    sphere_dist_thres: float = 0.5
+    sphere_maxnum: int = 200
+    planar_dist_thres: float = 0.5
+    planar_maxnum: int = 2500
+    ground_dist_thres: float = 0.5
+    ground_maxnum: int = 2000
+    max_iterations: int = 4
+    inner_iterations: int = 4  # ceres options.max_num_iterations
+    cost_threshold: float = 5e-9
+    gnc_factor: float = 11.8
+    noise_bound: float = 0.01
+    fitness_thres: float = 0.02
+    # --- TPU-build-specific knobs ---
+    # "residual": paper-correct mu init from the max residual evaluated at the
+    #   predicted pose. "reference_zero": reproduce the reference's emergent
+    #   behavior (residual buffers are still zero-initialized when mu is set
+    #   on iter 0, registration.cpp:934,1027-1033, so mu always starts 1e-10).
+    mu_init: str = "residual"
+    lm_lambda: float = 1e-6  # Levenberg damping for the 6x6 solve
+    max_per_cell: int = 8  # hash-grid candidate cap per neighbor cell
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Top-level lidar_odometry.yaml (front-end / submap management)."""
+
+    ground_down_sample: float = 0.3
+    ground_down_sample_submap: float = 0.45
+    edge_down_sample: float = 0.1
+    edge_down_sample_submap: float = 0.3
+    sphere_frame_size: int = 3
+    planar_frame_size: int = 3
+    edge_crop_box_length: float = 100.0
+    ground_crop_box_length: float = 100.0
+    mapping_flag: bool = False
+    tls: TLSConfig = dataclasses.field(default_factory=TLSConfig)
+
+    # --- static buffer capacities (TPU build; power-of-two friendly) ---
+    scan_edge_cap: int = 4096
+    scan_sphere_cap: int = 512
+    scan_planar_cap: int = 1024
+    scan_ground_cap: int = 8192
+    submap_edge_cap: int = 16384
+    submap_sphere_cap: int = 2048
+    submap_planar_cap: int = 4096
+    submap_ground_cap: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """kitti_reader.yaml."""
+
+    data_path: str = ""
+    sequence: str = "00"
+    image_kind_size: int = 0  # images unused by the solver path
+    raw_cloud_cap: int = 131072  # KITTI HDL-64E scans are ~120k points

@@ -1,0 +1,452 @@
+"""TLS-GNC scan-to-map registration — the numerical core of the framework.
+
+TPU-native replacement for the reference's Ceres-based ``LocalRegistration``
+(reference: src/models/registration/registration.cpp:182-1133). The entire
+solve — correspondence search, local line/plane fitting, residual/Jacobian
+evaluation, 6x6 normal-equation reduction, SE(3) update, GNC schedule, and
+convergence test — runs as ONE jitted XLA program per frame:
+
+  reference mechanism                       -> this module
+  -------------------------------------------------------------------------
+  4 KDTreeFlann builds (omp sections,          4 sorted voxel-hash grids
+    registration.cpp:892-915)                  (ops/voxel.build_hash_grid)
+  per-point SearchHybrid + std::async          one batched query_knn per
+    factor builders (:427-845)                 family, fully data-parallel
+  per-correspondence fitBestPlane /            masked closed-form 3x3 eigen
+    SelfAdjointEigenSolver (:303-368,476-479)  fits (ops/eig3)
+  Ceres DENSE_QR + SUBSPACE_DOGLEG, 4 inner    damped Gauss-Newton: fused
+    iterations (:1036-1047)                    JᵀJ/Jᵀr einsum reduction +
+                                               6x6 solve, lax.scan(4)
+  GNC weight threads (:1053-1086)              vectorized weight update
+  outer loop ≤4 iters, planar-only             lax.while_loop with early
+    convergence gate (:966,1108-1111)          exit on the same gate
+
+Reference quirks reproduced on purpose (SURVEY.md §hard-parts e):
+  * GNC bookkeeping cost is (Σ residual components)² for 3-residual
+    families and r² for point-to-plane (registration.cpp:32,69,101,143).
+  * Convergence tests ONLY the planar cost delta (registration.cpp:1108).
+  * mu ramp mu *= exp((iter+1)·gnc_factor) (registration.cpp:1089).
+  * mu init on iter 0 (registration.cpp:1027-1033): see TLSConfig.mu_init —
+    the reference reads the residual buffers while they are still
+    zero-initialized, so it always starts at mu=1e-10; "residual" mode
+    instead evaluates real residuals at the predicted pose (paper-correct).
+  * correspondence caps per family keep the FIRST maxnum valid matches in
+    scan order (registration.cpp:448,538,592,679,735).
+  * cost==0 correspondences keep their previous weight (:862).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tloam_tpu.cloud import Cloud
+from tloam_tpu.config import TLSConfig
+from tloam_tpu.ops import eig3, residuals as res, se3, voxel
+
+
+class FeatureSet(NamedTuple):
+    """The four feature classes a frame contributes to registration."""
+
+    edge: Cloud
+    sphere: Cloud
+    planar: Cloud
+    ground: Cloud
+
+    def transform(self, T: jax.Array) -> "FeatureSet":
+        return FeatureSet(*(c.transform(T) for c in self))
+
+
+class Diagnostics(NamedTuple):
+    iterations: jax.Array  # outer GNC iterations executed
+    mu: jax.Array
+    costs: jax.Array  # (4,) final [planar, ground, edge, sphere] cost sums
+    num_corr: jax.Array  # (4,) correspondence counts at the last iteration
+
+
+class _Corr(NamedTuple):
+    """Per-family correspondence buffers (fixed shapes = scan capacities)."""
+
+    plane_n: jax.Array  # planar: (Np,3) plane normals
+    plane_d: jax.Array  # (Np,)
+    plane_valid: jax.Array  # (Np,)
+    ground_n: jax.Array
+    ground_d: jax.Array
+    ground_valid: jax.Array
+    edge_a: jax.Array  # (Ne,3)
+    edge_b: jax.Array
+    edge_valid: jax.Array
+    sphere_t: jax.Array  # (Ns,3) target points
+    sphere_valid: jax.Array
+
+
+def _cap_first_n(valid: jax.Array, maxnum: int) -> jax.Array:
+    """Keep only the first `maxnum` valid entries in order (reference caps,
+    registration.cpp:448 etc.)."""
+    return valid & (jnp.cumsum(valid.astype(jnp.int32)) <= maxnum)
+
+
+def _plane_correspondences(
+    grid: voxel.HashGrid,
+    submap: Cloud,
+    scan_w: jax.Array,
+    scan_valid: jax.Array,
+    dist_thres: float,
+    maxnum: int,
+    max_per_cell: int,
+):
+    """Shared planar/ground path: 5-NN -> plane fit -> validity gates
+    (reference addSurfCostFactor/addGroundCostFactor, registration.cpp:571-778)."""
+    idx, _, ok = voxel.query_knn(
+        grid, scan_w, scan_valid, k=5, radius=dist_thres, max_per_cell=max_per_cell
+    )
+    pts = submap.xyz[idx]  # (N,5,3)
+    n_neigh = jnp.sum(ok, axis=-1)
+    nrm, d, _ = eig3.plane_from_points(pts, ok)
+    # Gate: need all 5 neighbors (size()<=4 -> skip, registration.cpp:589) and
+    # plane precision: signed distance of every neighbor <= 0.2 (the reference
+    # checks the SIGNED value, registration.cpp:606-612 — reproduced).
+    plane_dis = jnp.einsum("nkj,nj->nk", pts, nrm) + d[:, None]
+    precise = jnp.all(jnp.where(ok, plane_dis <= 0.2, True), axis=-1)
+    valid = scan_valid & (n_neigh >= 5) & precise
+    return nrm, d, _cap_first_n(valid, maxnum)
+
+
+def _edge_correspondences(
+    grid: voxel.HashGrid,
+    submap: Cloud,
+    scan_w: jax.Array,
+    scan_valid: jax.Array,
+    cfg: TLSConfig,
+):
+    """Edge path: 5-NN -> line fit -> direction gates -> (a, b) endpoints
+    (reference addEdgeCostFactor, registration.cpp:427-505)."""
+    idx, _, ok = voxel.query_knn(
+        grid,
+        scan_w,
+        scan_valid,
+        k=5,
+        radius=cfg.edge_dist_thres,
+        max_per_cell=cfg.max_per_cell,
+    )
+    pts = submap.xyz[idx]
+    n_neigh = jnp.sum(ok, axis=-1)
+    center, direction, is_line = eig3.line_from_points(pts, ok)
+    # Gates: >3 neighbors (registration.cpp:445), lam2 > 3 lam1 (in is_line),
+    # |dir_z| > edge_dir_thres (vertical structures, registration.cpp:481).
+    valid = (
+        scan_valid
+        & (n_neigh >= 4)
+        & (is_line > 0.5)
+        & (jnp.abs(direction[:, 2]) > cfg.edge_dir_thres)
+    )
+    a = center + 0.1 * direction
+    b = center - 0.1 * direction
+    return a, b, _cap_first_n(valid, cfg.edge_maxnum)
+
+
+def _sphere_correspondences(
+    grid: voxel.HashGrid,
+    submap: Cloud,
+    scan_w: jax.Array,
+    scan_valid: jax.Array,
+    cfg: TLSConfig,
+):
+    """Sphere path: 1-NN with squared-distance gate 0.2 (reference
+    addSphereCostFactor, registration.cpp:517-559; Open3D KD distances are
+    SQUARED, so the 0.2 gate is on dist², reproduced)."""
+    idx, dist_sq, ok = voxel.query_knn(
+        grid,
+        scan_w,
+        scan_valid,
+        k=1,
+        radius=cfg.sphere_dist_thres,
+        max_per_cell=cfg.max_per_cell,
+    )
+    tgt = submap.xyz[idx[:, 0]]
+    valid = scan_valid & ok[:, 0] & (dist_sq[:, 0] <= 0.2)
+    return tgt, _cap_first_n(valid, cfg.sphere_maxnum)
+
+
+def _build_correspondences(
+    xi: jax.Array,
+    scan: FeatureSet,
+    submap: FeatureSet,
+    grids: dict,
+    cfg: TLSConfig,
+) -> _Corr:
+    T = se3.exp(xi)
+    planar_w = se3.transform(T, scan.planar.xyz)
+    ground_w = se3.transform(T, scan.ground.xyz)
+    edge_w = se3.transform(T, scan.edge.xyz)
+    sphere_w = se3.transform(T, scan.sphere.xyz)
+
+    pn, pd, pv = _plane_correspondences(
+        grids["planar"], submap.planar, planar_w, scan.planar.valid,
+        cfg.planar_dist_thres, cfg.planar_maxnum, cfg.max_per_cell,
+    )
+    gn, gd, gv = _plane_correspondences(
+        grids["ground"], submap.ground, ground_w, scan.ground.valid,
+        cfg.ground_dist_thres, cfg.ground_maxnum, cfg.max_per_cell,
+    )
+    ea, eb, ev = _edge_correspondences(
+        grids["edge"], submap.edge, edge_w, scan.edge.valid, cfg
+    )
+    st, sv = _sphere_correspondences(
+        grids["sphere"], submap.sphere, sphere_w, scan.sphere.valid, cfg
+    )
+    if cfg.factor_num < 4:
+        sv = jnp.zeros_like(sv)
+    if cfg.factor_num < 3:
+        ev = jnp.zeros_like(ev)
+    return _Corr(pn, pd, pv, gn, gd, gv, ea, eb, ev, st, sv)
+
+
+class _Weights(NamedTuple):
+    planar: jax.Array
+    ground: jax.Array
+    edge: jax.Array
+    sphere: jax.Array
+
+
+def _evaluate(
+    xi: jax.Array, scan: FeatureSet, corr: _Corr, w: _Weights
+):
+    """Residuals/Jacobians/costs for every family at pose xi.
+
+    Returns (H (6,6), g (6,), costs _Weights-shaped pytree of per-point GNC
+    costs with zeros at invalid slots).
+    """
+    T = se3.exp(xi)
+    dtype = xi.dtype
+    H = jnp.zeros((6, 6), dtype)
+    g = jnp.zeros((6,), dtype)
+
+    # --- planar + ground: point-to-plane (1 residual row) ---
+    def plane_family(cloud, n, d, valid, weights):
+        r, J, cost = res.point_to_plane(T, cloud.xyz, n, d, weights)
+        m = valid.astype(dtype)
+        irls = res.cauchy_weight(r * r) * m
+        Hf = jnp.einsum("ni,nj,n->ij", J, J, irls)
+        gf = jnp.einsum("ni,n,n->i", J, r, irls)
+        return Hf, gf, cost * m
+
+    # --- edge/sphere: 3-residual families ---
+    def vec_family(r, J, cost, valid):
+        m = valid.astype(dtype)
+        irls = res.cauchy_weight(jnp.sum(r * r, axis=-1)) * m
+        Hf = jnp.einsum("nki,nkj,n->ij", J, J, irls)
+        gf = jnp.einsum("nki,nk,n->i", J, r, irls)
+        return Hf, gf, cost * m
+
+    Hp, gp, cost_p = plane_family(
+        scan.planar, corr.plane_n, corr.plane_d, corr.plane_valid, w.planar
+    )
+    Hg, gg, cost_g = plane_family(
+        scan.ground, corr.ground_n, corr.ground_d, corr.ground_valid, w.ground
+    )
+    r_e, J_e, c_e = res.point_to_line(
+        T, scan.edge.xyz, corr.edge_a, corr.edge_b, w.edge
+    )
+    He, ge, cost_e = vec_family(r_e, J_e, c_e, corr.edge_valid)
+    r_s, J_s, c_s = res.point_to_point(T, scan.sphere.xyz, corr.sphere_t, w.sphere)
+    Hs, gs, cost_s = vec_family(r_s, J_s, c_s, corr.sphere_valid)
+
+    H = Hp + Hg + He + Hs
+    g = gp + gg + ge + gs
+    costs = _Weights(cost_p, cost_g, cost_e, cost_s)
+    return H, g, costs
+
+
+def _gn_inner(
+    xi: jax.Array, scan: FeatureSet, corr: _Corr, w: _Weights, cfg: TLSConfig
+) -> jax.Array:
+    """Damped Gauss-Newton inner loop (replaces ceres::Solve 4 iterations,
+    registration.cpp:1036-1047)."""
+
+    def step(xi, _):
+        H, g, _ = _evaluate(xi, scan, corr, w)
+        damp = cfg.lm_lambda * jnp.maximum(jnp.trace(H) / 6.0, 1.0)
+        delta = -jnp.linalg.solve(H + damp * jnp.eye(6, dtype=xi.dtype), g)
+        # guard against rank-deficient blowups on degenerate frames
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        return se3.boxplus_left(xi, delta), None
+
+    xi, _ = jax.lax.scan(step, xi, None, length=cfg.inner_iterations)
+    return xi
+
+
+class _OuterState(NamedTuple):
+    xi: jax.Array
+    weights: _Weights
+    mu: jax.Array
+    prev_planar_cost: jax.Array
+    costs: jax.Array  # (4,) last cost sums
+    num_corr: jax.Array  # (4,)
+    it: jax.Array
+    done: jax.Array
+
+
+def scan_matching(
+    scan: FeatureSet,
+    submap: FeatureSet,
+    predict_pose: jax.Array,
+    cfg: TLSConfig,
+) -> tuple[jax.Array, Diagnostics]:
+    """Register one frame's features against the submap.
+
+    Args:
+      scan: the current frame's feature clouds (fixed capacities).
+      submap: the local map feature clouds.
+      predict_pose: (4,4) motion-model pose prediction (world_T_scan).
+      cfg: solver hyper-parameters (static).
+
+    Returns (pose (4,4), Diagnostics). Matches the contract of the reference
+    ``LocalRegistration::scanMatching`` (registration.cpp:879-1133).
+    """
+    dtype = scan.planar.xyz.dtype
+    xi0 = se3.log(predict_pose.astype(dtype))
+    # Tiny-rotation degeneracy guard (registration.cpp:884-886). The reference
+    # randomizes; we use a fixed tiny axis for determinism — only the
+    # magnitude (breaking the exact-zero rotation) matters.
+    tiny = jnp.asarray([1.0, 1.0, 1.0], dtype) / jnp.sqrt(3.0) * 1e-4
+    omega_small = jnp.linalg.norm(xi0[3:]) < 1e-2
+    xi0 = jnp.where(omega_small, xi0.at[3:].set(tiny), xi0)
+
+    grids = {
+        "edge": voxel.build_hash_grid(
+            submap.edge.xyz, submap.edge.valid, cfg.edge_dist_thres
+        ),
+        "sphere": voxel.build_hash_grid(
+            submap.sphere.xyz, submap.sphere.valid, cfg.sphere_dist_thres
+        ),
+        "planar": voxel.build_hash_grid(
+            submap.planar.xyz, submap.planar.valid, cfg.planar_dist_thres
+        ),
+        "ground": voxel.build_hash_grid(
+            submap.ground.xyz, submap.ground.valid, cfg.ground_dist_thres
+        ),
+    }
+
+    noise_bound_sq = cfg.noise_bound**2
+    if noise_bound_sq < 1e-16:
+        noise_bound_sq = 1e-2  # registration.cpp:962-964
+
+    w0 = _Weights(
+        jnp.ones(scan.planar.capacity, dtype),
+        jnp.ones(scan.ground.capacity, dtype),
+        jnp.ones(scan.edge.capacity, dtype),
+        jnp.ones(scan.sphere.capacity, dtype),
+    )
+
+    def outer_body(st: _OuterState) -> _OuterState:
+        corr = _build_correspondences(st.xi, scan, submap, grids, cfg)
+
+        # mu initialisation on the first iteration (registration.cpp:1027-1033)
+        if cfg.mu_init == "reference_zero":
+            # The reference reads still-zeroed residual buffers => mu = 1e-10.
+            mu = jnp.where(st.it == 0, jnp.asarray(1e-10, dtype), st.mu)
+        else:
+            _, _, costs0 = _evaluate(st.xi, scan, corr, st.weights)
+            max_r = jnp.maximum(
+                jnp.max(costs0.planar),
+                jnp.maximum(jnp.max(costs0.edge), jnp.max(costs0.sphere)),
+            )
+            mu = jnp.where(
+                st.it == 0, res.gnc_init_mu(max_r, noise_bound_sq), st.mu
+            )
+
+        xi = _gn_inner(st.xi, scan, corr, st.weights, cfg)
+
+        # final-pose costs feed the GNC weight update (the reference's cost
+        # side-channels hold the values of Ceres' last Evaluate call)
+        _, _, costs = _evaluate(xi, scan, corr, st.weights)
+
+        th1, th2 = res.gnc_thresholds(mu, noise_bound_sq)
+        new_w = _Weights(
+            res.gnc_update_weights(
+                st.weights.planar, costs.planar, noise_bound_sq, th1, th2, mu
+            ),
+            res.gnc_update_weights(
+                st.weights.ground, costs.ground, noise_bound_sq, th1, th2, mu
+            ),
+            res.gnc_update_weights(
+                st.weights.edge, costs.edge, noise_bound_sq, th1, th2, mu
+            ),
+            res.gnc_update_weights(
+                st.weights.sphere, costs.sphere, noise_bound_sq, th1, th2, mu
+            ),
+        )
+        mu = res.gnc_next_mu(mu, st.it.astype(dtype), cfg.gnc_factor)
+
+        planar_cost = jnp.sum(costs.planar)
+        cost_sums = jnp.stack(
+            [
+                planar_cost,
+                jnp.sum(costs.ground),
+                jnp.sum(costs.edge),
+                jnp.sum(costs.sphere),
+            ]
+        )
+        ncorr = jnp.stack(
+            [
+                jnp.sum(corr.plane_valid),
+                jnp.sum(corr.ground_valid),
+                jnp.sum(corr.edge_valid),
+                jnp.sum(corr.sphere_valid),
+            ]
+        ).astype(jnp.int32)
+        # planar-only convergence gate (registration.cpp:1108-1111)
+        done = jnp.abs(planar_cost - st.prev_planar_cost) < cfg.cost_threshold
+        return _OuterState(
+            xi, new_w, mu, planar_cost, cost_sums, ncorr, st.it + 1, done
+        )
+
+    init = _OuterState(
+        xi=xi0,
+        weights=w0,
+        mu=jnp.asarray(1.0, dtype),
+        prev_planar_cost=jnp.asarray(jnp.inf, dtype),
+        costs=jnp.zeros(4, dtype),
+        num_corr=jnp.zeros(4, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+
+    final = jax.lax.while_loop(
+        lambda st: (st.it < cfg.max_iterations) & ~st.done, outer_body, init
+    )
+
+    pose = se3.exp(final.xi)
+    return pose, Diagnostics(final.it, final.mu, final.costs, final.num_corr)
+
+
+def fitness_score(
+    scan: FeatureSet, submap: FeatureSet, cfg: TLSConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Total fitness + summed inlier RMSE across the four families
+    (reference getFitnessScore, registration.cpp:257-296: per family,
+    fraction of scan points with a submap neighbor within fitness_thres and
+    sqrt of mean squared neighbor distance; family scores are summed)."""
+    total_fit = jnp.asarray(0.0, scan.planar.xyz.dtype)
+    total_rmse = jnp.asarray(0.0, scan.planar.xyz.dtype)
+    for s, m in [
+        (scan.edge, submap.edge),
+        (scan.sphere, submap.sphere),
+        (scan.planar, submap.planar),
+        (scan.ground, submap.ground),
+    ]:
+        grid = voxel.build_hash_grid(m.xyz, m.valid, cfg.fitness_thres)
+        _, dist_sq, ok = voxel.query_knn(
+            grid, s.xyz, s.valid, k=1, radius=cfg.fitness_thres,
+            max_per_cell=cfg.max_per_cell,
+        )
+        n = jnp.sum(ok[:, 0])
+        err = jnp.sum(jnp.where(ok[:, 0], dist_sq[:, 0], 0.0))
+        denom = jnp.maximum(s.count(), 1)
+        fit = jnp.where(n > 0, n / denom, 0.0)
+        rmse = jnp.where(n > 0, jnp.sqrt(err / jnp.maximum(n, 1)), 0.0)
+        total_fit = total_fit + fit
+        total_rmse = total_rmse + rmse
+    return total_fit, total_rmse
