@@ -1,0 +1,90 @@
+"""Benchmark: full odometry pipeline throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "frames/s", "vs_baseline": N/10}
+
+Baseline: the reference's real-time claim is 10 Hz on CPU (BASELINE.md —
+ros::Rate(10) loops, scanPeriod 0.1 s). vs_baseline = our frames/s / 10.
+
+No KITTI data ships in this image, so scans are synthesized by the exact
+raycaster (tloam_tpu.utils.synthetic) at HDL-64E-like density (64 rings x
+1870 azimuth steps ≈ 120k rays, ~60-100k returns) against an urban scene —
+the same point counts and structure the reference processes per frame.
+Timing covers host->device transfer + the entire jitted per-frame pipeline
+(segmentation, DCVC, edge/PCA features, TLS-GNC solve, submap update),
+excluding scan synthesis (which stands in for the sensor).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tloam_tpu.cloud import Cloud
+    from tloam_tpu.pipeline import frontend
+    from tloam_tpu.utils import synthetic
+
+    cfg = frontend.PipelineConfig()
+    rings, az = 64, 1870
+    cap = 131072
+
+    n_warm, n_timed = 3, 12
+    scene = synthetic.Scene.urban(np.random.default_rng(3), extent=80.0)
+    gt = synthetic.straight_trajectory(n_warm + n_timed, step=1.0, yaw_rate=0.005)
+
+    print("synthesizing scans...", file=sys.stderr)
+    scans = []
+    for i in range(n_warm + n_timed):
+        xyz, inten = synthetic.simulate_scan(
+            gt[i], scene, rings=rings, az_steps=az,
+            rng=np.random.default_rng(i), noise=0.01,
+        )
+        scans.append((xyz, inten))
+    print(
+        f"scan sizes: {[s[0].shape[0] for s in scans[:4]]} ...", file=sys.stderr
+    )
+
+    state = frontend.init_state(cfg, jnp.float32)
+    t_compile = time.time()
+    for i in range(n_warm):
+        xyz, inten = scans[i]
+        raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
+        state, pose, _ = frontend.odometry_step(state, raw, cfg)
+    jax.block_until_ready(pose)
+    print(f"warmup (incl. compile): {time.time()-t_compile:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(n_warm, n_warm + n_timed):
+        xyz, inten = scans[i]
+        raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
+        state, pose, diag = frontend.odometry_step(state, raw, cfg)
+    jax.block_until_ready(pose)
+    dt = time.time() - t0
+    fps = n_timed / dt
+
+    print(
+        f"timed {n_timed} frames in {dt:.3f}s ({fps:.2f} frames/s); "
+        f"last diag iters={int(diag.iterations)} corr={np.asarray(diag.num_corr)}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "synthetic_kitti_odometry_frames_per_s",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Checkpoint round-trip + CLI eval command."""
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from tloam_tpu.pipeline import frontend
+from tloam_tpu.utils import checkpoint as ckpt
+from tloam_tpu.utils import trajectory
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = frontend.PipelineConfig()
+    state = frontend.init_state(cfg, jnp.float32)
+    # mutate a bit so the roundtrip is non-trivial
+    state = state._replace(
+        frame_idx=jnp.asarray(7, jnp.int32),
+        pose=jnp.eye(4, dtype=jnp.float32).at[0, 3].set(3.5),
+    )
+    poses = np.tile(np.eye(4), (7, 1, 1))
+    path = tmp_path / "state.npz"
+    ckpt.save_state(path, state, poses)
+
+    template = frontend.init_state(cfg, jnp.float32)
+    restored, saved_poses = ckpt.load_state(path, template)
+    assert int(restored.frame_idx) == 7
+    assert float(restored.pose[0, 3]) == 3.5
+    assert saved_poses.shape == (7, 4, 4)
+    # full pytree equality
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_eval(tmp_path, capsys):
+    from tloam_tpu import cli
+
+    n = 300
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 250, n)
+    est = poses.copy()
+    est[:, 1, 3] += 0.05  # constant offset
+    trajectory.save_kitti(tmp_path / "gt.txt", poses)
+    trajectory.save_kitti(tmp_path / "est.txt", est)
+    rc = cli.main(["eval", "--est", str(tmp_path / "est.txt"), "--gt", str(tmp_path / "gt.txt")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["frames"] == n
+    assert out["ate_rmse_m"] < 0.06
+    assert out["kitti_t_err_pct"] < 0.2
+
+
+def test_cli_info(capsys):
+    from tloam_tpu import cli
+
+    assert cli.main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["backend"] == "cpu"
+    assert len(out["devices"]) == 8

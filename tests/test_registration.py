@@ -47,12 +47,15 @@ def synthetic_world(rng):
     return ground, planar, edge, sphere
 
 
-def as_features(ground, planar, edge, sphere, caps=(4096, 4096, 1024, 256)):
+def as_features(ground, planar, edge, sphere, caps=(4096, 4096, 1024, 256), dtype=None):
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.float32
     return FeatureSet(
-        edge=Cloud.from_numpy(edge, capacity=caps[2]),
-        sphere=Cloud.from_numpy(sphere, capacity=caps[3]),
-        planar=Cloud.from_numpy(planar, capacity=caps[1]),
-        ground=Cloud.from_numpy(ground, capacity=caps[0]),
+        edge=Cloud.from_numpy(edge, capacity=caps[2], dtype=dt),
+        sphere=Cloud.from_numpy(sphere, capacity=caps[3], dtype=dt),
+        planar=Cloud.from_numpy(planar, capacity=caps[1], dtype=dt),
+        ground=Cloud.from_numpy(ground, capacity=caps[0], dtype=dt),
     )
 
 

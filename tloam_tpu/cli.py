@@ -1,0 +1,182 @@
+"""Command-line entry points: ``tloam run | eval | bench | info``.
+
+Replaces the reference's roslaunch entry (launch/tloam_kitti.launch) with a
+plain CLI. `run` executes full-sequence odometry (KITTI directory or the
+built-in synthetic world when no dataset is available), writes a KITTI-format
+trajectory, and supports checkpoint/resume.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def cmd_run(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tloam_tpu.cloud import Cloud
+    from tloam_tpu.pipeline import frontend
+    from tloam_tpu.utils import checkpoint as ckpt
+    from tloam_tpu.utils import synthetic, timing, trajectory
+
+    cfg = frontend.PipelineConfig()
+    timer = timing.StageTimer()
+
+    if args.data:
+        from tloam_tpu.io import kitti
+
+        seq = kitti.KittiSequence.open(args.data, args.sequence)
+        n = len(seq) if args.frames is None else min(args.frames, len(seq))
+        print(f"KITTI sequence {args.sequence}: {n} frames", file=sys.stderr)
+        scan_iter = ((i, seq.scan(i)) for i in range(n))
+        cap = 131072
+        gt = seq.gt_velo()
+    else:
+        n = args.frames or 50
+        print(f"synthetic sequence: {n} frames", file=sys.stderr)
+        scene = synthetic.Scene.urban(np.random.default_rng(3))
+        gt = synthetic.straight_trajectory(n, step=1.0, yaw_rate=0.005)
+        cap = 64 * 1870
+
+        def gen():
+            for i in range(n):
+                with timer.stage("synthesize"):
+                    s = synthetic.simulate_scan(
+                        gt[i], scene, rings=64, az_steps=1870,
+                        rng=np.random.default_rng(i),
+                    )
+                yield i, s
+
+        scan_iter = gen()
+        gt = gt.copy()
+        gt[:, 2, 3] += 1.73
+        gt = np.linalg.inv(gt[0])[None] @ gt
+
+    state = frontend.init_state(cfg, jnp.float32)
+    poses = []
+    start_frame = 0
+    if args.resume:
+        state, saved = ckpt.load_state(args.resume, state)
+        poses = list(saved)
+        start_frame = len(poses)
+        print(f"resumed at frame {start_frame}", file=sys.stderr)
+
+    for i, (xyz, inten) in scan_iter:
+        if i < start_frame:
+            continue
+        with timer.stage("h2d"):
+            raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
+        with timer.stage("odometry_step"):
+            state, pose, diag = frontend.odometry_step(state, raw, cfg)
+            pose.block_until_ready()
+        poses.append(np.asarray(pose))
+        if args.verbose:
+            print(
+                f"frame {i}: t={np.asarray(pose)[:3,3].round(3)} "
+                f"iters={int(diag.iterations)} corr={np.asarray(diag.num_corr)}",
+                file=sys.stderr,
+            )
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            ckpt.save_state(args.checkpoint or "tloam_ckpt.npz", state, np.stack(poses))
+
+    est = np.stack(poses)
+    out = args.output or "tloam_traj.txt"
+    trajectory.save_kitti(out, est)
+    print(f"wrote {len(est)} poses to {out}", file=sys.stderr)
+    print(timer.report(), file=sys.stderr)
+
+    if gt is not None and len(gt) >= 2:
+        t_err, r_err = trajectory.kitti_odometry_errors(gt[: len(est)], est)
+        ate = trajectory.ate_rmse(gt[: len(est)], est)
+        print(
+            json.dumps(
+                {
+                    "frames": len(est),
+                    "kitti_t_err_pct": None if np.isnan(t_err) else round(t_err, 4),
+                    "kitti_r_err_deg_per_100m": None if np.isnan(r_err) else round(r_err, 4),
+                    "ate_rmse_m": round(ate, 4),
+                }
+            )
+        )
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from tloam_tpu.utils import trajectory
+
+    est = trajectory.load_kitti(args.est)
+    gt = trajectory.load_kitti(args.gt)
+    t_err, r_err = trajectory.kitti_odometry_errors(gt, est)
+    rpe_t, rpe_r = trajectory.rpe(gt, est)
+    print(
+        json.dumps(
+            {
+                "frames": int(min(len(gt), len(est))),
+                "kitti_t_err_pct": round(t_err, 4),
+                "kitti_r_err_deg_per_100m": round(r_err, 4),
+                "ate_rmse_m": round(trajectory.ate_rmse(gt, est), 4),
+                "rpe_trans_m": round(rpe_t, 4),
+                "rpe_rot_deg": round(rpe_r, 4),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    bench.main()
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "version": __import__("tloam_tpu").__version__,
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tloam", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run odometry over a sequence")
+    r.add_argument("--data", help="KITTI odometry root (omit for synthetic)")
+    r.add_argument("--sequence", default="00")
+    r.add_argument("--frames", type=int)
+    r.add_argument("--output", help="trajectory output path (KITTI format)")
+    r.add_argument("--checkpoint")
+    r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--resume")
+    r.add_argument("-v", "--verbose", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("eval", help="evaluate trajectory vs ground truth")
+    e.add_argument("--est", required=True)
+    e.add_argument("--gt", required=True)
+    e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("bench", help="run the benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    i = sub.add_parser("info", help="print backend/device info")
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

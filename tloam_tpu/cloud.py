@@ -7,21 +7,33 @@ cloud here is a fixed-capacity buffer plus a validity mask; all reference ops
 that erase/filter points (RemoveNonFinitePoints, SelectByIndex, Crop, …)
 become mask updates, and ops that merge clouds concatenate fixed buffers.
 
+Like the reference container (whose whole point is keeping the extra
+`intensity_` channel consistent through every op, PointCloud2.hpp:108-110),
+every op here keeps ALL channels aligned: xyz, intensity, validity, and the
+optional normals/colors channels (None when absent — `HasNormals`/`HasColors`
+become a None check resolved at trace time).
+
 The container is a registered dataclass pytree: it passes through jit / vmap /
 scan / shard_map boundaries transparently, and sharding a Cloud shards all
-its leaves consistently.
+its leaves consistently. The larger op families (outlier removal, DBSCAN,
+RANSAC, normals, downsample variants) live in ops/cloud_ops.py.
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.tree_util.register_dataclass, data_fields=["xyz", "intensity", "valid"], meta_fields=[])
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["xyz", "intensity", "valid", "normals", "colors"],
+    meta_fields=[],
+)
 @dataclasses.dataclass(frozen=True)
 class Cloud:
     """A fixed-capacity point cloud.
@@ -29,15 +41,27 @@ class Cloud:
     xyz       : (N, 3) float   point positions (garbage where ~valid)
     intensity : (N,)   float   per-point intensity (KITTI reflectance)
     valid     : (N,)   bool    which slots hold real points
+    normals   : (N, 3) float   optional per-point normals (None if absent)
+    colors    : (N, 3) float   optional per-point RGB (None if absent)
     """
 
     xyz: jax.Array
     intensity: jax.Array
     valid: jax.Array
+    normals: Optional[jax.Array] = None
+    colors: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
         return self.xyz.shape[-2]
+
+    @property
+    def has_normals(self) -> bool:
+        return self.normals is not None
+
+    @property
+    def has_colors(self) -> bool:
+        return self.colors is not None
 
     def count(self) -> jax.Array:
         return jnp.sum(self.valid, axis=-1)
@@ -58,6 +82,8 @@ class Cloud:
         intensity: np.ndarray | None = None,
         capacity: int | None = None,
         dtype=jnp.float32,
+        normals: np.ndarray | None = None,
+        colors: np.ndarray | None = None,
     ) -> "Cloud":
         """Pad (or truncate) host data to a fixed capacity bucket."""
         n = xyz.shape[0]
@@ -66,31 +92,61 @@ class Cloud:
             intensity = np.zeros((n,), dtype=np.float32)
         if n > cap:
             xyz, intensity = xyz[:cap], intensity[:cap]
+            normals = normals[:cap] if normals is not None else None
+            colors = colors[:cap] if colors is not None else None
             n = cap
         pad = cap - n
-        xyz_p = np.pad(xyz.astype(np.float32), ((0, pad), (0, 0)))
-        int_p = np.pad(intensity.astype(np.float32), (0, pad))
-        valid = np.arange(cap) < n
+
+        def pad3(a):
+            return jnp.asarray(np.pad(a.astype(np.float32), ((0, pad), (0, 0))), dtype)
+
         return Cloud(
-            xyz=jnp.asarray(xyz_p, dtype),
-            intensity=jnp.asarray(int_p, dtype),
-            valid=jnp.asarray(valid),
+            xyz=pad3(xyz),
+            intensity=jnp.asarray(np.pad(intensity.astype(np.float32), (0, pad)), dtype),
+            valid=jnp.asarray(np.arange(cap) < n),
+            normals=pad3(normals) if normals is not None else None,
+            colors=pad3(colors) if colors is not None else None,
         )
 
     # ---- core ops (reference PointCloud2.cpp counterparts noted) ---------
 
     def transform(self, T: jax.Array) -> "Cloud":
-        """Rigid transform of all points (PointCloud2.cpp:71-77)."""
+        """Rigid transform of points AND normals (PointCloud2.cpp:71-77)."""
         R = T[..., :3, :3]
         t = T[..., :3, 3]
         xyz = jnp.einsum("...ij,...nj->...ni", R, self.xyz) + t[..., None, :]
-        return dataclasses.replace(self, xyz=xyz)
+        normals = (
+            jnp.einsum("...ij,...nj->...ni", R, self.normals)
+            if self.normals is not None
+            else None
+        )
+        return dataclasses.replace(self, xyz=xyz, normals=normals)
 
     def translate(self, t: jax.Array) -> "Cloud":
         return dataclasses.replace(self, xyz=self.xyz + t[..., None, :])
 
+    def rotate(self, R: jax.Array, center: jax.Array | None = None) -> "Cloud":
+        """Rotate about a center (default: masked centroid) —
+        PointCloud2.cpp:85-94."""
+        c = (
+            self.masked_mean()[..., None, :]
+            if center is None
+            else center[..., None, :]
+        )
+        xyz = jnp.einsum("...ij,...nj->...ni", R, self.xyz - c) + c
+        normals = (
+            jnp.einsum("...ij,...nj->...ni", R, self.normals)
+            if self.normals is not None
+            else None
+        )
+        return dataclasses.replace(self, xyz=xyz, normals=normals)
+
     def scale(self, s, center: jax.Array | None = None) -> "Cloud":
-        c = jnp.mean(self.xyz, axis=-2, keepdims=True) if center is None else center[..., None, :]
+        c = (
+            self.masked_mean()[..., None, :]
+            if center is None
+            else center[..., None, :]
+        )
         return dataclasses.replace(self, xyz=(self.xyz - c) * s + c)
 
     def mask(self, keep: jax.Array) -> "Cloud":
@@ -112,13 +168,33 @@ class Cloud:
         inside = jnp.all((self.xyz >= lo) & (self.xyz <= hi), axis=-1)
         return self.mask(inside)
 
+    def crop_obb(self, center: jax.Array, R: jax.Array, half_extent: jax.Array) -> "Cloud":
+        """Oriented crop box (PointCloud2.cpp:561-569): rotate into the box
+        frame and test the axis-aligned extents."""
+        local = jnp.einsum("...ji,...nj->...ni", R, self.xyz - center[..., None, :])
+        inside = jnp.all(jnp.abs(local) <= half_extent, axis=-1)
+        return self.mask(inside)
+
     def concat(self, other: "Cloud") -> "Cloud":
         """Merge two clouds (operator+=, PointCloud2.cpp:96-132) by buffer
-        concatenation — capacities add."""
+        concatenation — capacities add. Channels present in only one input
+        are zero-filled for the other (the reference resizes with zeros)."""
+
+        def cat3(a, b):
+            if a is None and b is None:
+                return None
+            if a is None:
+                a = jnp.zeros_like(self.xyz)
+            if b is None:
+                b = jnp.zeros_like(other.xyz)
+            return jnp.concatenate([a, b], axis=-2)
+
         return Cloud(
             xyz=jnp.concatenate([self.xyz, other.xyz], axis=-2),
             intensity=jnp.concatenate([self.intensity, other.intensity], axis=-1),
             valid=jnp.concatenate([self.valid, other.valid], axis=-1),
+            normals=cat3(self.normals, other.normals),
+            colors=cat3(self.colors, other.colors),
         )
 
     def compact(self, capacity: int | None = None) -> "Cloud":
@@ -130,17 +206,32 @@ class Cloud:
         cap = capacity if capacity is not None else self.capacity
         order = jnp.argsort(~self.valid, stable=True)
         idx = order[..., :cap]
-        take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
-        return Cloud(
-            xyz=jnp.take_along_axis(self.xyz, idx[..., None], axis=-2),
-            intensity=take(self.intensity),
-            valid=take(self.valid),
+        take1 = lambda a: jnp.take_along_axis(a, idx, axis=-1)
+        take3 = lambda a: (
+            jnp.take_along_axis(a, idx[..., None], axis=-2) if a is not None else None
         )
+        return Cloud(
+            xyz=take3(self.xyz),
+            intensity=take1(self.intensity),
+            valid=take1(self.valid),
+            normals=take3(self.normals),
+            colors=take3(self.colors),
+        )
+
+    def paint_uniform_color(self, rgb: jax.Array) -> "Cloud":
+        """PaintUniformColor (Geometry utility the reference inherits)."""
+        colors = jnp.broadcast_to(rgb, self.xyz.shape).astype(self.xyz.dtype)
+        return dataclasses.replace(self, colors=colors)
 
     def masked_xyz(self, fill: float = 1e9) -> jax.Array:
         """Points with invalid slots pushed to a far sentinel — handy before
         distance computations so padding never wins a nearest-neighbor race."""
         return jnp.where(self.valid[..., None], self.xyz, fill)
+
+    def masked_mean(self) -> jax.Array:
+        m = self.valid.astype(self.xyz.dtype)
+        cnt = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        return jnp.sum(self.xyz * m[..., None], axis=-2) / cnt[..., None]
 
     def mean_and_covariance(self) -> tuple[jax.Array, jax.Array]:
         """Masked mean + covariance (PointCloud2.cpp:655-665)."""
@@ -150,3 +241,9 @@ class Cloud:
         diff = (self.xyz - mean[..., None, :]) * m[..., None]
         cov = jnp.einsum("...ni,...nj->...ij", diff, diff) / cnt[..., None, None]
         return mean, cov
+
+    def min_bound(self) -> jax.Array:
+        return jnp.min(jnp.where(self.valid[..., None], self.xyz, jnp.inf), axis=-2)
+
+    def max_bound(self) -> jax.Array:
+        return jnp.max(jnp.where(self.valid[..., None], self.xyz, -jnp.inf), axis=-2)

@@ -260,13 +260,21 @@ def _evaluate(
 
 
 def _gn_inner(
-    xi: jax.Array, scan: FeatureSet, corr: _Corr, w: _Weights, cfg: TLSConfig
+    xi: jax.Array,
+    scan: FeatureSet,
+    corr: _Corr,
+    w: _Weights,
+    cfg: TLSConfig,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Damped Gauss-Newton inner loop (replaces ceres::Solve 4 iterations,
-    registration.cpp:1036-1047)."""
+    registration.cpp:1036-1047). With `axis_name`, the 6x6 normal equations
+    are psum-reduced across the mesh before the (replicated) solve."""
 
     def step(xi, _):
         H, g, _ = _evaluate(xi, scan, corr, w)
+        H = _psum(H, axis_name)
+        g = _psum(g, axis_name)
         damp = cfg.lm_lambda * jnp.maximum(jnp.trace(H) / 6.0, 1.0)
         delta = -jnp.linalg.solve(H + damp * jnp.eye(6, dtype=xi.dtype), g)
         # guard against rank-deficient blowups on degenerate frames
@@ -288,11 +296,20 @@ class _OuterState(NamedTuple):
     done: jax.Array
 
 
+def _psum(x, axis_name):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _pmax(x, axis_name):
+    return x if axis_name is None else jax.lax.pmax(x, axis_name)
+
+
 def scan_matching(
     scan: FeatureSet,
     submap: FeatureSet,
     predict_pose: jax.Array,
     cfg: TLSConfig,
+    axis_name: str | None = None,
 ) -> tuple[jax.Array, Diagnostics]:
     """Register one frame's features against the submap.
 
@@ -301,6 +318,11 @@ def scan_matching(
       submap: the local map feature clouds.
       predict_pose: (4,4) motion-model pose prediction (world_T_scan).
       cfg: solver hyper-parameters (static).
+      axis_name: when called inside shard_map with the SCAN point buffers
+        sharded along their point axis (submap replicated), names the mesh
+        axis to psum/pmax the 6x6 normal equations, GNC statistics, and cost
+        sums over — the "collective Schur reduction" of the distributed
+        solver (see parallel.distributed). None = single-device semantics.
 
     Returns (pose (4,4), Diagnostics). Matches the contract of the reference
     ``LocalRegistration::scanMatching`` (registration.cpp:879-1133).
@@ -353,11 +375,12 @@ def scan_matching(
                 jnp.max(costs0.planar),
                 jnp.maximum(jnp.max(costs0.edge), jnp.max(costs0.sphere)),
             )
+            max_r = _pmax(max_r, axis_name)
             mu = jnp.where(
                 st.it == 0, res.gnc_init_mu(max_r, noise_bound_sq), st.mu
             )
 
-        xi = _gn_inner(st.xi, scan, corr, st.weights, cfg)
+        xi = _gn_inner(st.xi, scan, corr, st.weights, cfg, axis_name)
 
         # final-pose costs feed the GNC weight update (the reference's cost
         # side-channels hold the values of Ceres' last Evaluate call)
@@ -380,22 +403,25 @@ def scan_matching(
         )
         mu = res.gnc_next_mu(mu, st.it.astype(dtype), cfg.gnc_factor)
 
-        planar_cost = jnp.sum(costs.planar)
+        planar_cost = _psum(jnp.sum(costs.planar), axis_name)
         cost_sums = jnp.stack(
             [
                 planar_cost,
-                jnp.sum(costs.ground),
-                jnp.sum(costs.edge),
-                jnp.sum(costs.sphere),
+                _psum(jnp.sum(costs.ground), axis_name),
+                _psum(jnp.sum(costs.edge), axis_name),
+                _psum(jnp.sum(costs.sphere), axis_name),
             ]
         )
-        ncorr = jnp.stack(
-            [
-                jnp.sum(corr.plane_valid),
-                jnp.sum(corr.ground_valid),
-                jnp.sum(corr.edge_valid),
-                jnp.sum(corr.sphere_valid),
-            ]
+        ncorr = _psum(
+            jnp.stack(
+                [
+                    jnp.sum(corr.plane_valid),
+                    jnp.sum(corr.ground_valid),
+                    jnp.sum(corr.edge_valid),
+                    jnp.sum(corr.sphere_valid),
+                ]
+            ),
+            axis_name,
         ).astype(jnp.int32)
         # planar-only convergence gate (registration.cpp:1108-1111)
         done = jnp.abs(planar_cost - st.prev_planar_cost) < cfg.cost_threshold

@@ -19,11 +19,10 @@ import jax
 import jax.numpy as jnp
 
 
-def eigvalsh3(A: jax.Array) -> jax.Array:
-    """Eigenvalues of symmetric (...,3,3), ascending: (...,3)."""
-    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
-
+def eigvalsh3_soa(a00, a01, a02, a11, a12, a22):
+    """Eigenvalues from the six unique symmetric-matrix components (SoA
+    layout — no (...,3,3) tensor materialized; see ops/voxel.py on TPU
+    tiling). Returns (e_lo, e_mid, e_hi) as separate arrays."""
     q = (a00 + a11 + a22) / 3.0
     p1 = a01 * a01 + a02 * a02 + a12 * a12
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
@@ -48,7 +47,50 @@ def eigvalsh3(A: jax.Array) -> jax.Array:
     e_hi = jnp.where(isotropic, q, e_hi)
     e_mid = jnp.where(isotropic, q, e_mid)
     e_lo = jnp.where(isotropic, q, e_lo)
+    return e_lo, e_mid, e_hi
+
+
+def eigvalsh3(A: jax.Array) -> jax.Array:
+    """Eigenvalues of symmetric (...,3,3), ascending: (...,3)."""
+    e_lo, e_mid, e_hi = eigvalsh3_soa(
+        A[..., 0, 0], A[..., 0, 1], A[..., 0, 2],
+        A[..., 1, 1], A[..., 1, 2], A[..., 2, 2],
+    )
     return jnp.stack([e_lo, e_mid, e_hi], axis=-1)
+
+
+def eigvec_soa(a00, a01, a02, a11, a12, a22, lam):
+    """Unit eigenvector for eigenvalue `lam`, as three scalar arrays
+    (nx, ny, nz). Same largest-row-cross-product construction as
+    `_eigvec_for`, fully in scalar components."""
+    b00, b11, b22 = a00 - lam, a11 - lam, a22 - lam
+    # rows of B = A - lam I: r0=(b00,a01,a02) r1=(a01,b11,a12) r2=(a02,a12,b22)
+    # cross(r0, r1), cross(r0, r2), cross(r1, r2)
+    c01x = a01 * a12 - a02 * b11
+    c01y = a02 * a01 - b00 * a12
+    c01z = b00 * b11 - a01 * a01
+    c02x = a01 * b22 - a02 * a12
+    c02y = a02 * a02 - b00 * b22
+    c02z = b00 * a12 - a01 * a02
+    c12x = b11 * b22 - a12 * a12
+    c12y = a12 * a02 - a01 * b22
+    c12z = a01 * a12 - b11 * a02
+    n01 = c01x * c01x + c01y * c01y + c01z * c01z
+    n02 = c02x * c02x + c02y * c02y + c02z * c02z
+    n12 = c12x * c12x + c12y * c12y + c12z * c12z
+    use01 = (n01 >= n02) & (n01 >= n12)
+    use02 = ~use01 & (n02 >= n12)
+    vx = jnp.where(use01, c01x, jnp.where(use02, c02x, c12x))
+    vy = jnp.where(use01, c01y, jnp.where(use02, c02y, c12y))
+    vz = jnp.where(use01, c01z, jnp.where(use02, c02z, c12z))
+    norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    ok = norm > 1e-20
+    inv = jnp.where(ok, 1.0 / jnp.maximum(norm, 1e-30), 0.0)
+    return (
+        jnp.where(ok, vx * inv, 1.0),
+        jnp.where(ok, vy * inv, 0.0),
+        jnp.where(ok, vz * inv, 0.0),
+    )
 
 
 def _eigvec_for(A: jax.Array, lam: jax.Array) -> jax.Array:

@@ -7,18 +7,26 @@ This module replaces BOTH of the reference's spatial-search mechanisms:
     calls (reference registration.cpp:892-915, 444, 535, 588, 669, 731) —
     here a sorted spatial-hash grid queried for all points at once: 27
     neighbor cells are probed per query, up to `max_per_cell` candidates
-    gathered from each, hash collisions rejected by exact cell-coordinate
-    comparison, and the k best selected with `lax.top_k`.
+    gathered from each, and the k best selected with `lax.top_k`.
 
-Everything is static-shape and jit/vmap-safe. Keys are int32 spatial hashes
-(Teschner et al. primes) so the engine never needs x64; collisions are
-handled exactly, not probabilistically.
+TPU memory-layout notes (the reason for some non-obvious shapes):
+  * TPU tiles the last TWO dims of every array to (8,128); a large array
+    with a tiny minor dim (e.g. (Q,27,C,3)) pads 3 -> 128 and explodes 42x.
+    All per-candidate data here therefore lives in (Q, 27*C) planes with the
+    LARGE candidate axis minor, and point coordinates are gathered as three
+    separate scalar planes (SoA) instead of one (...,3) tensor.
+  * Hash-collision rejection uses a SECOND independent spatial hash instead
+    of exact integer-coordinate comparison: a false match needs both 32-bit
+    hashes to collide on different cells probed from the same sorted block —
+    vanishing probability, and it removes the (...,3) coordinate tensors.
+  * `chunk_size` runs the query in lax.map chunks to bound peak memory
+    (used for the ~131k-point PCA self-query).
 
 Approximation vs the reference's exact KD-tree hybrid search: only the first
-`max_per_cell` points that landed in a given (hash-sorted) cell block are
-considered. With voxel-downsampled feature maps the per-cell occupancy is
-small, so the top-k within radius is exact in practice; parity is asserted at
-the pose level (SURVEY.md §hard-parts b).
+`max_per_cell` points of a cell's sorted run are considered. With
+voxel-downsampled feature maps the per-cell occupancy is small, so the top-k
+within radius is exact in practice; parity is asserted at the *pose* level
+(SURVEY.md §hard-parts b).
 """
 from __future__ import annotations
 
@@ -27,8 +35,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# Teschner spatial-hash primes (int32 wraparound is well-defined in XLA).
+# Teschner spatial-hash primes (int32 wraparound is well-defined in XLA);
+# the second hash uses an independent prime triple.
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
+_Q1, _Q2, _Q3 = 2654435761, 805459861, 3674653429
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
@@ -38,6 +48,23 @@ def _cell_coords(points: jax.Array, cell_size) -> jax.Array:
 
 def _hash_coords(c: jax.Array) -> jax.Array:
     return (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
+
+
+def _hash2_coords(c: jax.Array) -> jax.Array:
+    h = (
+        (c[..., 0] * jnp.int32(_Q1 & 0x7FFFFFFF))
+        ^ (c[..., 1] * jnp.int32(_Q2))
+        ^ (c[..., 2] * jnp.int32(_Q3 & 0x7FFFFFFF))
+    )
+    return h
+
+
+def _hash2_parts(cx: jax.Array, cy: jax.Array, cz: jax.Array) -> jax.Array:
+    return (
+        (cx * jnp.int32(_Q1 & 0x7FFFFFFF))
+        ^ (cy * jnp.int32(_Q2))
+        ^ (cz * jnp.int32(_Q3 & 0x7FFFFFFF))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -56,8 +83,7 @@ def voxel_downsample(
     reference's intensity-aware VoxelDownSample, PointCloud2.cpp:358-403).
 
     Returns (xyz (max_out,3), intensity (max_out,), valid (max_out,)).
-    Voxels beyond `max_out` are dropped (sorted by hash — effectively a
-    deterministic pseudo-random subset).
+    Voxels beyond `max_out` are dropped (lexicographic cell order).
     """
     coords = _cell_coords(xyz, voxel_size)
     coords = jnp.where(valid[:, None], coords, _SENTINEL)  # invalid sort last
@@ -99,17 +125,20 @@ def voxel_downsample(
 class HashGrid(NamedTuple):
     """Sorted spatial-hash index over a fixed-capacity point buffer.
 
-    points   : (M,3) points in hash-sorted order (invalid at the end)
-    coords   : (M,3) int32 cell coords in sorted order
-    keys     : (M,)  int32 sorted hash keys (invalid = INT32_MAX sentinel)
+    xs/ys/zs : (M,) point coordinates in hash-sorted order (SoA — see module
+               docstring on TPU tiling)
+    keys     : (M,)  int32 sorted primary hash (invalid = INT32_MAX)
+    keys2    : (M,)  int32 secondary hash for collision rejection
     src_idx  : (M,)  original buffer index of each sorted slot
     valid    : (M,)  validity in sorted order
-    cell_size: ()    float — the grid pitch (= query radius)
+    cell_size: ()    float — the grid pitch (= default query radius)
     """
 
-    points: jax.Array
-    coords: jax.Array
+    xs: jax.Array
+    ys: jax.Array
+    zs: jax.Array
     keys: jax.Array
+    keys2: jax.Array
     src_idx: jax.Array
     valid: jax.Array
     cell_size: jax.Array
@@ -118,24 +147,79 @@ class HashGrid(NamedTuple):
 def build_hash_grid(points: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
     coords = _cell_coords(points, cell_size)
     keys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
+    keys2 = _hash2_coords(coords)
     # Secondary lexicographic sort by cell coords keeps each cell's points
     # contiguous even inside a colliding hash block (argsort alone would
     # interleave colliding cells, hurting the first-C candidate gather).
     order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], keys))
     return HashGrid(
-        points=points[order],
-        coords=coords[order],
+        xs=points[order, 0],
+        ys=points[order, 1],
+        zs=points[order, 2],
         keys=keys[order],
+        keys2=keys2[order],
         src_idx=order.astype(jnp.int32),
         valid=valid[order],
         cell_size=jnp.asarray(cell_size, points.dtype),
     )
 
 
-_NEIGHBOR_OFFSETS = jnp.asarray(
-    [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
-    dtype=jnp.int32,
-)  # (27, 3)
+_OFF1 = jnp.asarray([i for i in (-1, 0, 1) for _ in range(9)], jnp.int32)
+_OFF2 = jnp.asarray([j for _ in range(3) for j in (-1, 0, 1) for _ in range(3)], jnp.int32)
+_OFF3 = jnp.asarray([k for _ in range(9) for k in (-1, 0, 1)], jnp.int32)
+
+
+def _query_block(
+    grid: HashGrid,
+    queries: jax.Array,
+    query_valid: jax.Array,
+    k: int,
+    r,
+    C: int,
+):
+    M = grid.keys.shape[0]
+    q = queries.shape[0]
+
+    qc = _cell_coords(queries, grid.cell_size)  # (q,3)
+    # neighbor cell coords as scalar planes (q,27)
+    nx = qc[:, 0:1] + _OFF1[None, :]
+    ny = qc[:, 1:2] + _OFF2[None, :]
+    nz = qc[:, 2:3] + _OFF3[None, :]
+    nbr_hash = (nx * _P1) ^ (ny * _P2) ^ (nz * _P3)  # (q,27)
+    nbr_hash2 = _hash2_parts(nx, ny, nz)
+
+    start = jnp.searchsorted(grid.keys, nbr_hash, side="left")  # (q,27)
+
+    # candidate slots in (q, 27*C) planes — large axis minor (TPU tiling)
+    slots = (
+        start[:, :, None] + jnp.arange(C, dtype=start.dtype)[None, None, :]
+    ).reshape(q, 27 * C)
+    exp = lambda a: jnp.repeat(a, C, axis=1)  # (q,27) -> (q,27C)
+    in_bounds = slots < M
+    slots_c = jnp.minimum(slots, M - 1)
+
+    match = (
+        in_bounds
+        & grid.valid[slots_c]
+        & (grid.keys[slots_c] == exp(nbr_hash))
+        & (grid.keys2[slots_c] == exp(nbr_hash2))
+    )
+    dx = grid.xs[slots_c] - queries[:, 0:1]
+    dy = grid.ys[slots_c] - queries[:, 1:2]
+    dz = grid.zs[slots_c] - queries[:, 2:3]
+    dist_sq = dx * dx + dy * dy + dz * dz
+    ok = match & (dist_sq <= r * r) & query_valid[:, None]
+
+    BIG = jnp.asarray(jnp.finfo(queries.dtype).max, queries.dtype)
+    masked = jnp.where(ok, dist_sq, BIG)
+
+    neg_top, arg_top = jax.lax.top_k(-masked, k)  # (q,k)
+    take = lambda a: jnp.take_along_axis(a, arg_top, axis=-1)
+    nn_slot = take(slots_c)
+    nn_ok = take(ok)
+    nn_dist = -neg_top
+    nn_idx = grid.src_idx[nn_slot]
+    return nn_idx, jnp.where(nn_ok, nn_dist, BIG), nn_ok
 
 
 def query_knn(
@@ -145,52 +229,36 @@ def query_knn(
     k: int,
     radius: float | None = None,
     max_per_cell: int = 8,
+    chunk_size: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched k-nearest-neighbors within `radius` (defaults to cell_size).
 
     queries: (Q,3). Returns (idx (Q,k) into the ORIGINAL buffer,
     dist_sq (Q,k), neighbor_valid (Q,k)). Replaces KDTreeFlann::SearchHybrid.
+    Set `chunk_size` to process queries in lax.map chunks (bounds peak
+    memory to O(chunk_size * 27 * max_per_cell)).
     """
     r = grid.cell_size if radius is None else jnp.asarray(radius, queries.dtype)
-    M = grid.points.shape[0]
+    Q = queries.shape[0]
     C = max_per_cell
+    if chunk_size is None or chunk_size >= Q:
+        return _query_block(grid, queries, query_valid, k, r, C)
 
-    qc = _cell_coords(queries, grid.cell_size)  # (Q,3)
-    nbr = qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (Q,27,3)
-    nbr_hash = _hash_coords(nbr)  # (Q,27)
+    pad = (-Q) % chunk_size
+    qs = jnp.pad(queries, ((0, pad), (0, 0)))
+    qv = jnp.pad(query_valid, (0, pad))
+    n_chunks = (Q + pad) // chunk_size
+    qs = qs.reshape(n_chunks, chunk_size, 3)
+    qv = qv.reshape(n_chunks, chunk_size)
 
-    # First index of each neighbor hash block in the sorted key array.
-    start = jnp.searchsorted(grid.keys, nbr_hash, side="left")  # (Q,27)
-
-    # Candidate slots: C consecutive entries per block.
-    slots = start[..., None] + jnp.arange(C, dtype=start.dtype)  # (Q,27,C)
-    in_bounds = slots < M
-    slots_c = jnp.minimum(slots, M - 1)
-
-    cand_keys = grid.keys[slots_c]
-    cand_coords = grid.coords[slots_c]  # (Q,27,C,3)
-    cand_pts = grid.points[slots_c]  # (Q,27,C,3)
-    cand_valid = grid.valid[slots_c]
-
-    match = (
-        in_bounds
-        & cand_valid
-        & (cand_keys == nbr_hash[..., None])
-        & jnp.all(cand_coords == nbr[:, :, None, :], axis=-1)
+    idx, dist, ok = jax.lax.map(
+        lambda args: _query_block(grid, args[0], args[1], k, r, C), (qs, qv)
     )
-    diff = cand_pts - queries[:, None, None, :]
-    dist_sq = jnp.sum(diff * diff, axis=-1)
-    ok = match & (dist_sq <= r * r) & query_valid[:, None, None]
+    unpack = lambda a: a.reshape(n_chunks * chunk_size, k)[:Q]
+    return unpack(idx), unpack(dist), unpack(ok)
 
-    BIG = jnp.asarray(jnp.finfo(queries.dtype).max, queries.dtype)
-    dist_flat = jnp.where(ok, dist_sq, BIG).reshape(queries.shape[0], 27 * C)
-    slot_flat = slots_c.reshape(queries.shape[0], 27 * C)
-    ok_flat = ok.reshape(queries.shape[0], 27 * C)
 
-    neg_top, arg_top = jax.lax.top_k(-dist_flat, k)  # (Q,k)
-    take = lambda a: jnp.take_along_axis(a, arg_top, axis=-1)
-    nn_slot = take(slot_flat)
-    nn_ok = take(ok_flat)
-    nn_dist = -neg_top
-    nn_idx = grid.src_idx[nn_slot]
-    return nn_idx, jnp.where(nn_ok, nn_dist, BIG), nn_ok
+def gather_planes(points: jax.Array, idx: jax.Array):
+    """Gather neighbor coordinates as three (Q,k) scalar planes (SoA) —
+    avoids materializing a (Q,k,3) tensor (see module docstring)."""
+    return points[:, 0][idx], points[:, 1][idx], points[:, 2][idx]

@@ -1,0 +1,138 @@
+"""Synthetic spinning-LiDAR scan generator (tiny CPU raycaster).
+
+No KITTI data ships in this environment, so pipeline tests and benchmarks
+synthesize HDL-64E-like scans: ring-major, azimuth-ordered point streams
+(matching the ordering the reference's ring estimator assumes,
+segmentation.cpp:362-377) cast against a parametric urban scene (ground
+plane, vertical walls, cylindrical poles). Geometry is exact (analytic ray
+intersections), so ground-truth poses are available for trajectory metrics.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Scene:
+    """Axis-aligned urban toy world. Ground is the z=0 plane."""
+
+    # walls: (axis, coord, lo0, hi0, z_lo, z_hi); axis 0 => plane x=coord
+    # spanning y in [lo0, hi0], else plane y=coord spanning x.
+    walls: list
+    # poles: (cx, cy, radius, z_hi)
+    poles: list
+
+    @staticmethod
+    def urban(rng: np.random.Generator | None = None, extent: float = 60.0) -> "Scene":
+        rng = rng or np.random.default_rng(0)
+        walls = []
+        # building fronts parallel to the street (x axis)
+        for y in (-8.0, 8.0):
+            x0 = -extent
+            while x0 < extent:
+                seg = rng.uniform(8, 20)
+                if rng.uniform() < 0.8:
+                    walls.append((1, y + rng.uniform(-1, 1), x0, x0 + seg, 0.0, rng.uniform(3, 8)))
+                x0 += seg + rng.uniform(0, 4)
+        # a few cross walls
+        for _ in range(6):
+            x = rng.uniform(-extent, extent)
+            walls.append((0, x, rng.uniform(-8, -4), rng.uniform(4, 8), 0.0, rng.uniform(2, 5)))
+        poles = [
+            (rng.uniform(-extent, extent), rng.uniform(-7, 7) * rng.choice([1]), 0.15, rng.uniform(2.5, 5.0))
+            for _ in range(40)
+        ]
+        return Scene(walls, poles)
+
+
+def simulate_scan(
+    pose: np.ndarray,
+    scene: Scene,
+    rings: int = 32,
+    az_steps: int = 1024,
+    sensor_height: float = 1.73,
+    min_elev_deg: float = -24.9,
+    max_elev_deg: float = 2.0,
+    min_range: float = 1.0,
+    max_range: float = 80.0,
+    noise: float = 0.01,
+    rng: np.random.Generator | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cast one scan from `pose` (sensor->world, sensor at z=+sensor_height
+    above its local ground contact). Returns (xyz (N,3) sensor frame,
+    intensity (N,)) for hit rays only, ring-major azimuth-ordered."""
+    rng = rng or np.random.default_rng(0)
+    R, t = pose[:3, :3], pose[:3, 3]
+    origin = t + np.array([0.0, 0.0, sensor_height])
+
+    elevs = np.radians(np.linspace(min_elev_deg, max_elev_deg, rings))
+    azims = np.linspace(0, 2 * np.pi, az_steps, endpoint=False)
+    el, az = np.meshgrid(elevs, azims, indexing="ij")  # ring-major
+    dirs_s = np.stack(
+        [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], -1
+    ).reshape(-1, 3)
+    dirs_w = dirs_s @ R.T
+
+    tmin = np.full(dirs_w.shape[0], np.inf)
+
+    # ground plane z=0
+    dz = dirs_w[:, 2]
+    tg = np.where(dz < -1e-9, -origin[2] / np.where(dz < -1e-9, dz, -1.0), np.inf)
+    tmin = np.minimum(tmin, np.where(tg > 0, tg, np.inf))
+
+    # walls
+    for axis, coord, lo0, hi0, z_lo, z_hi in scene.walls:
+        d = dirs_w[:, axis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tw = (coord - origin[axis]) / d
+        hit = np.isfinite(tw) & (tw > 0)
+        tw = np.where(hit, tw, 0.0)
+        p = origin[None, :] + tw[:, None] * dirs_w
+        other = 1 - axis
+        hit &= (p[:, other] >= lo0) & (p[:, other] <= hi0)
+        hit &= (p[:, 2] >= z_lo) & (p[:, 2] <= z_hi)
+        tmin = np.minimum(tmin, np.where(hit, tw, np.inf))
+
+    # poles (infinite cylinder capped at z_hi)
+    for cx, cy, rad, z_hi in scene.poles:
+        ox, oy = origin[0] - cx, origin[1] - cy
+        dx, dy = dirs_w[:, 0], dirs_w[:, 1]
+        a = dx * dx + dy * dy
+        b = 2 * (ox * dx + oy * dy)
+        c = ox * ox + oy * oy - rad * rad
+        disc = b * b - 4 * a * c
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tq = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a)
+        hit = (disc > 0) & (tq > 0)
+        z = origin[2] + tq * dirs_w[:, 2]
+        hit &= (z >= 0.0) & (z <= z_hi)
+        tmin = np.minimum(tmin, np.where(hit, tq, np.inf))
+
+    hit_mask = np.isfinite(tmin) & (tmin >= min_range) & (tmin <= max_range)
+    tmin = np.where(hit_mask, tmin, 0.0)
+    pts_w = origin[None, :] + tmin[:, None] * dirs_w
+    if noise > 0:
+        pts_w = pts_w + rng.normal(size=pts_w.shape) * noise
+    # back to sensor frame (sensor origin at `origin`, orientation R)
+    pts_s = (pts_w - origin[None, :]) @ R
+    xyz = pts_s[hit_mask].astype(np.float32)
+    inten = np.full(xyz.shape[0], 0.5, np.float32)
+    return xyz, inten
+
+
+def straight_trajectory(n_frames: int, step: float = 0.8, yaw_rate: float = 0.01):
+    """Ground-truth sensor poses: forward motion with mild yaw."""
+    poses = []
+    x, y, yaw = 0.0, 0.0, 0.0
+    for _ in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        T[0, 3], T[1, 3] = x, y
+        poses.append(T)
+        x += step * c
+        y += step * s
+        yaw += yaw_rate
+    return np.stack(poses)
