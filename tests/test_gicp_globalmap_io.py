@@ -1,0 +1,96 @@
+"""GICP registration mode, global map accumulation, and point-cloud I/O."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tloam_tpu.cloud import Cloud
+from tloam_tpu.io import pointcloud_io
+from tloam_tpu.models.registration import calculate_covariances, scan_matching
+from tloam_tpu.ops import se3
+
+from tests.test_registration import CFG, as_features, synthetic_world
+
+
+def test_calculate_covariances_regularization(rng):
+    # points on a plane: regularized cov must have unit max eigenvalue and
+    # min eigenvalue clamped at >= 1e-3 (registration.cpp:407-411)
+    pts = np.concatenate(
+        [rng.uniform(-2, 2, size=(300, 2)), rng.normal(size=(300, 1)) * 1e-4],
+        axis=1,
+    )
+    cloud = Cloud.from_numpy(pts, capacity=512)
+    covs = np.asarray(calculate_covariances(cloud, k_corr=10))
+    w = np.linalg.eigvalsh(covs[:300])
+    assert np.allclose(w[:, 2], 1.0, atol=1e-5)
+    assert np.all(w[:, 0] >= 1e-3 - 1e-9)
+
+
+def test_scan_matching_gicp_mode(rng):
+    ground, planar, edge, sphere = synthetic_world(rng)
+    submap = as_features(ground, planar, edge, sphere)
+    xi_true = np.array([0.15, -0.1, 0.05, 0.01, -0.008, 0.02])
+    T_true = se3.exp(jnp.asarray(xi_true))
+    Tn = np.asarray(se3.inv(T_true))
+    to_scan = lambda p: p @ Tn[:3, :3].T + Tn[:3, 3]
+    scan = as_features(to_scan(ground), to_scan(planar), to_scan(edge), to_scan(sphere))
+
+    cfg = dataclasses.replace(CFG, plane_residual="gicp")
+    pose, diag = jax.jit(scan_matching, static_argnums=3)(
+        scan, submap, jnp.eye(4, dtype=jnp.float64), cfg
+    )
+    err = se3.log(se3.inv(T_true) @ pose)
+    assert np.linalg.norm(np.asarray(err)[:3]) < 2e-2, np.asarray(err)
+    assert np.linalg.norm(np.asarray(err)[3:]) < 2e-3, np.asarray(err)
+
+
+def test_global_map_accumulation(rng):
+    from tloam_tpu.pipeline import frontend
+
+    od = dataclasses.replace(
+        frontend.PipelineConfig().odometry, mapping_flag=True, global_map_cap=8192
+    )
+    cfg = dataclasses.replace(frontend.PipelineConfig(), odometry=od)
+    state = frontend.init_state(cfg, jnp.float32)
+    assert state.global_map.capacity == 8192
+
+    raw = Cloud.from_numpy(
+        rng.uniform(-20, 20, size=(2000, 3)).astype(np.float32), capacity=2048
+    )
+    new_map = frontend._accumulate_global_map(
+        state.global_map, raw, jnp.eye(4, dtype=jnp.float32), cfg
+    )
+    assert int(new_map.count()) > 100
+    # accumulating the SAME scan again shouldn't grow the 1m-voxel map much
+    again = frontend._accumulate_global_map(new_map, raw, jnp.eye(4, dtype=jnp.float32), cfg)
+    assert int(again.count()) <= int(new_map.count()) + 50
+
+
+def test_ply_pcd_bin_roundtrip(tmp_path, rng):
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    inten = rng.uniform(size=100).astype(np.float32)
+    c = Cloud.from_numpy(xyz, inten, capacity=128)
+
+    n = pointcloud_io.write_pcd(tmp_path / "c.pcd", c)
+    assert n == 100
+    x2, i2 = pointcloud_io.read_pcd(tmp_path / "c.pcd")
+    assert np.allclose(x2, xyz, atol=1e-6)
+    assert np.allclose(i2, inten, atol=1e-6)
+
+    n = pointcloud_io.write_kitti_bin(tmp_path / "c.bin", c)
+    from tloam_tpu.io import kitti
+
+    x3, i3 = kitti.read_velodyne(tmp_path / "c.bin")
+    assert np.allclose(x3, xyz, atol=1e-6)
+
+    # PLY with normals+colors channel negotiation
+    c = c.paint_uniform_color(jnp.asarray([0.2, 0.4, 0.8]))
+    import dataclasses as dc
+
+    c = dc.replace(c, normals=jnp.asarray(rng.normal(size=(128, 3)), jnp.float32))
+    n = pointcloud_io.write_ply(tmp_path / "c.ply", c)
+    head = (tmp_path / "c.ply").read_text().splitlines()[:12]
+    assert any("property float nx" in l for l in head)
+    assert any("property uchar red" in l for l in head)

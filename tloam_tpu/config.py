@@ -97,6 +97,10 @@ class TLSConfig:
     mu_init: str = "residual"
     lm_lambda: float = 1e-6  # Levenberg damping for the 6x6 solve
     max_per_cell: int = 8  # hash-grid candidate cap per neighbor cell
+    # plane-family residual: "point_to_plane" (the reference's wired default,
+    # addSurfCostFactor) or "gicp" (its PlaneToPlaneErr/addSurfCostFactor2
+    # covariance-weighted variant, registration.cpp:119-160,649-702)
+    plane_residual: str = "point_to_plane"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +116,8 @@ class OdometryConfig:
     edge_crop_box_length: float = 100.0
     ground_crop_box_length: float = 100.0
     mapping_flag: bool = False
+    global_map_voxel: float = 1.0  # front_end.cpp:272 VoxelDownSample(1.0)
+    global_map_cap: int = 262144
     tls: TLSConfig = dataclasses.field(default_factory=TLSConfig)
 
     # --- static buffer capacities (TPU build; power-of-two friendly) ---

@@ -66,9 +66,13 @@ class Diagnostics(NamedTuple):
 
 
 class _Corr(NamedTuple):
-    """Per-family correspondence buffers (fixed shapes = scan capacities)."""
+    """Per-family correspondence buffers (fixed shapes = scan capacities).
 
-    plane_n: jax.Array  # planar: (Np,3) plane normals
+    In point-to-plane mode plane_n/plane_d hold the fitted plane; in gicp
+    mode plane_n holds the TARGET point and the *_cov fields the regularized
+    covariances (plane_d unused)."""
+
+    plane_n: jax.Array  # planar: (Np,3) plane normals (or gicp target pts)
     plane_d: jax.Array  # (Np,)
     plane_valid: jax.Array  # (Np,)
     ground_n: jax.Array
@@ -79,6 +83,56 @@ class _Corr(NamedTuple):
     edge_valid: jax.Array
     sphere_t: jax.Array  # (Ns,3) target points
     sphere_valid: jax.Array
+    plane_tgt_cov: jax.Array | None = None  # gicp: (Np,3,3)
+    ground_tgt_cov: jax.Array | None = None
+    plane_src_cov: jax.Array | None = None
+    ground_src_cov: jax.Array | None = None
+
+
+def calculate_covariances(
+    cloud: Cloud, k_corr: int, radius: float = 1.0, max_per_cell: int = 8,
+    chunk_size: int | None = None,
+) -> jax.Array:
+    """Per-point regularized neighborhood covariances for GICP (reference
+    calculateCov, registration.cpp:385-415): kNN(k_corr+1) skipping self,
+    covariance, eigenvalues normalized by the max and clamped at 1e-3, then
+    reassembled — note the reference divides by the max eigenvalue, so the
+    output covariance is scale-free with unit largest eigenvalue."""
+    grid = voxel.build_hash_grid(cloud.xyz, cloud.valid, radius)
+    idx, _, ok = voxel.query_knn(
+        grid, cloud.xyz, cloud.valid, k=k_corr + 1, radius=radius,
+        max_per_cell=max_per_cell, chunk_size=chunk_size,
+    )
+    # drop the self slot (nearest, distance 0)
+    idx, ok = idx[:, 1:], ok[:, 1:]
+    m = ok.astype(cloud.xyz.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    xs, ys, zs = voxel.gather_planes(cloud.xyz, idx)
+    xs, ys, zs = xs * m, ys * m, zs * m
+    mx, my, mz = (jnp.sum(a, -1) / cnt for a in (xs, ys, zs))
+    a00 = jnp.sum(xs * xs, -1) / cnt - mx * mx
+    a01 = jnp.sum(xs * ys, -1) / cnt - mx * my
+    a02 = jnp.sum(xs * zs, -1) / cnt - mx * mz
+    a11 = jnp.sum(ys * ys, -1) / cnt - my * my
+    a12 = jnp.sum(ys * zs, -1) / cnt - my * mz
+    a22 = jnp.sum(zs * zs, -1) / cnt - mz * mz
+    cov = jnp.stack(
+        [
+            jnp.stack([a00, a01, a02], -1),
+            jnp.stack([a01, a11, a12], -1),
+            jnp.stack([a02, a12, a22], -1),
+        ],
+        axis=-2,
+    )
+    w, V = eig3.eigh3(cov)
+    w_max = jnp.maximum(w[..., 2:3], 1e-12)
+    w_reg = jnp.maximum(w / w_max, 1e-3)
+    out = jnp.einsum("nij,nj,nkj->nik", V, w_reg, V)
+    # Points without a usable neighborhood (the reference's unbounded kNN
+    # always finds k) fall back to the isotropic unit covariance.
+    degenerate = (jnp.sum(m, axis=-1) < 3) | (w[..., 2] < 1e-9)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=out.dtype), out.shape)
+    return jnp.where(degenerate[:, None, None], eye, out)
 
 
 def _cap_first_n(valid: jax.Array, maxnum: int) -> jax.Array:
@@ -169,12 +223,35 @@ def _sphere_correspondences(
     return tgt, _cap_first_n(valid, cfg.sphere_maxnum)
 
 
+def _gicp_correspondences(
+    grid: voxel.HashGrid,
+    submap: Cloud,
+    submap_covs: jax.Array,
+    scan_w: jax.Array,
+    scan_valid: jax.Array,
+    dist_thres: float,
+    maxnum: int,
+    max_per_cell: int,
+):
+    """1-NN GICP correspondence (reference addSurfCostFactor2/
+    addGroundCostFactor2, registration.cpp:649-702,792-845: plain nearest
+    neighbor within the distance threshold, no plane-fit gate)."""
+    idx, _, ok = voxel.query_knn(
+        grid, scan_w, scan_valid, k=1, radius=dist_thres, max_per_cell=max_per_cell
+    )
+    tgt = submap.xyz[idx[:, 0]]
+    tgt_cov = submap_covs[idx[:, 0]]
+    valid = scan_valid & ok[:, 0]
+    return tgt, tgt_cov, _cap_first_n(valid, maxnum)
+
+
 def _build_correspondences(
     xi: jax.Array,
     scan: FeatureSet,
     submap: FeatureSet,
     grids: dict,
     cfg: TLSConfig,
+    gicp_covs: dict | None = None,
 ) -> _Corr:
     T = se3.exp(xi)
     planar_w = se3.transform(T, scan.planar.xyz)
@@ -182,14 +259,37 @@ def _build_correspondences(
     edge_w = se3.transform(T, scan.edge.xyz)
     sphere_w = se3.transform(T, scan.sphere.xyz)
 
-    pn, pd, pv = _plane_correspondences(
-        grids["planar"], submap.planar, planar_w, scan.planar.valid,
-        cfg.planar_dist_thres, cfg.planar_maxnum, cfg.max_per_cell,
-    )
-    gn, gd, gv = _plane_correspondences(
-        grids["ground"], submap.ground, ground_w, scan.ground.valid,
-        cfg.ground_dist_thres, cfg.ground_maxnum, cfg.max_per_cell,
-    )
+    if gicp_covs is None:
+        pn, pd, pv = _plane_correspondences(
+            grids["planar"], submap.planar, planar_w, scan.planar.valid,
+            cfg.planar_dist_thres, cfg.planar_maxnum, cfg.max_per_cell,
+        )
+        gn, gd, gv = _plane_correspondences(
+            grids["ground"], submap.ground, ground_w, scan.ground.valid,
+            cfg.ground_dist_thres, cfg.ground_maxnum, cfg.max_per_cell,
+        )
+        covs = {}
+    else:
+        pn, p_cov, pv = _gicp_correspondences(
+            grids["planar"], submap.planar, gicp_covs["submap_planar"],
+            planar_w, scan.planar.valid, cfg.planar_dist_thres,
+            cfg.planar_maxnum, cfg.max_per_cell,
+        )
+        pd = jnp.zeros(pn.shape[0], pn.dtype)
+        # NOTE: addGroundCostFactor2 searches with planar_dist_thres
+        # (registration.cpp:813 — reproduced)
+        gn, g_cov, gv = _gicp_correspondences(
+            grids["ground"], submap.ground, gicp_covs["submap_ground"],
+            ground_w, scan.ground.valid, cfg.planar_dist_thres,
+            cfg.ground_maxnum, cfg.max_per_cell,
+        )
+        gd = jnp.zeros(gn.shape[0], gn.dtype)
+        covs = {
+            "plane_tgt_cov": p_cov,
+            "ground_tgt_cov": g_cov,
+            "plane_src_cov": gicp_covs["scan_planar"],
+            "ground_src_cov": gicp_covs["scan_ground"],
+        }
     ea, eb, ev = _edge_correspondences(
         grids["edge"], submap.edge, edge_w, scan.edge.valid, cfg
     )
@@ -200,7 +300,7 @@ def _build_correspondences(
         sv = jnp.zeros_like(sv)
     if cfg.factor_num < 3:
         ev = jnp.zeros_like(ev)
-    return _Corr(pn, pd, pv, gn, gd, gv, ea, eb, ev, st, sv)
+    return _Corr(pn, pd, pv, gn, gd, gv, ea, eb, ev, st, sv, **covs)
 
 
 class _Weights(NamedTuple):
@@ -240,12 +340,26 @@ def _evaluate(
         gf = jnp.einsum("nki,nk,n->i", J, r, irls)
         return Hf, gf, cost * m
 
-    Hp, gp, cost_p = plane_family(
-        scan.planar, corr.plane_n, corr.plane_d, corr.plane_valid, w.planar
-    )
-    Hg, gg, cost_g = plane_family(
-        scan.ground, corr.ground_n, corr.ground_d, corr.ground_valid, w.ground
-    )
+    def gicp_family(cloud, tgt, src_cov, tgt_cov, valid, weights):
+        r, J, cost = res.plane_to_plane(T, cloud.xyz, src_cov, tgt, tgt_cov, weights)
+        return vec_family(r, J, cost, valid)
+
+    if corr.plane_tgt_cov is not None:
+        Hp, gp, cost_p = gicp_family(
+            scan.planar, corr.plane_n, corr.plane_src_cov, corr.plane_tgt_cov,
+            corr.plane_valid, w.planar,
+        )
+        Hg, gg, cost_g = gicp_family(
+            scan.ground, corr.ground_n, corr.ground_src_cov, corr.ground_tgt_cov,
+            corr.ground_valid, w.ground,
+        )
+    else:
+        Hp, gp, cost_p = plane_family(
+            scan.planar, corr.plane_n, corr.plane_d, corr.plane_valid, w.planar
+        )
+        Hg, gg, cost_g = plane_family(
+            scan.ground, corr.ground_n, corr.ground_d, corr.ground_valid, w.ground
+        )
     r_e, J_e, c_e = res.point_to_line(
         T, scan.edge.xyz, corr.edge_a, corr.edge_b, w.edge
     )
@@ -355,6 +469,24 @@ def scan_matching(
     if noise_bound_sq < 1e-16:
         noise_bound_sq = 1e-2  # registration.cpp:962-964
 
+    if cfg.plane_residual == "gicp":
+        gicp_covs = {
+            "scan_planar": calculate_covariances(
+                scan.planar, cfg.k_corr, max_per_cell=cfg.max_per_cell
+            ),
+            "scan_ground": calculate_covariances(
+                scan.ground, cfg.k_corr, max_per_cell=cfg.max_per_cell
+            ),
+            "submap_planar": calculate_covariances(
+                submap.planar, cfg.k_corr, max_per_cell=cfg.max_per_cell
+            ),
+            "submap_ground": calculate_covariances(
+                submap.ground, cfg.k_corr, max_per_cell=cfg.max_per_cell
+            ),
+        }
+    else:
+        gicp_covs = None
+
     w0 = _Weights(
         jnp.ones(scan.planar.capacity, dtype),
         jnp.ones(scan.ground.capacity, dtype),
@@ -363,7 +495,7 @@ def scan_matching(
     )
 
     def outer_body(st: _OuterState) -> _OuterState:
-        corr = _build_correspondences(st.xi, scan, submap, grids, cfg)
+        corr = _build_correspondences(st.xi, scan, submap, grids, cfg, gicp_covs)
 
         # mu initialisation on the first iteration (registration.cpp:1027-1033)
         if cfg.mu_init == "reference_zero":

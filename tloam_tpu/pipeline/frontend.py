@@ -92,6 +92,7 @@ class OdometryState(NamedTuple):
     last_pose: jax.Array
     predict: jax.Array
     frame_idx: jax.Array  # () int32
+    global_map: Cloud  # 1.0 m global map (capacity 1 when mapping_flag off)
 
 
 # ---------------------------------------------------------------------------
@@ -300,13 +301,33 @@ def update_submap_window_only(
 
 def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdometryState:
     eye = jnp.eye(4, dtype=dtype)
+    map_cap = cfg.odometry.global_map_cap if cfg.odometry.mapping_flag else 1
     return OdometryState(
         submap=empty_submap(cfg, dtype),
         pose=eye,
         last_pose=eye,
         predict=eye,
         frame_idx=jnp.asarray(0, jnp.int32),
+        global_map=Cloud.empty(map_cap, dtype),
     )
+
+
+def _accumulate_global_map(
+    state_map: Cloud, raw: Cloud, pose: jax.Array, cfg: PipelineConfig
+) -> Cloud:
+    """Optional 1.0 m global map accumulation (front_end.cpp:269-274)."""
+    od = cfg.odometry
+    world = raw.transform(pose)
+    nx, ni, nv = voxel.voxel_downsample(
+        world.xyz, world.intensity, world.valid, od.global_map_voxel,
+        od.global_map_cap // 8,
+    )
+    merged = state_map.concat(Cloud(nx, ni, nv))
+    mx, mi, mv = voxel.voxel_downsample(
+        merged.xyz, merged.intensity, merged.valid, od.global_map_voxel,
+        od.global_map_cap,
+    )
+    return Cloud(mx, mi, mv)
 
 
 @partial(jax.jit, static_argnums=2)
@@ -324,8 +345,13 @@ def odometry_step(
             jnp.zeros(4, raw.xyz.dtype),
             jnp.zeros(4, jnp.int32),
         )
+        gmap = (
+            _accumulate_global_map(st.global_map, raw, st.pose, cfg)
+            if cfg.odometry.mapping_flag
+            else st.global_map
+        )
         return (
-            st._replace(submap=submap, frame_idx=st.frame_idx + 1),
+            st._replace(submap=submap, frame_idx=st.frame_idx + 1, global_map=gmap),
             st.pose,
             diag,
         )
@@ -337,6 +363,11 @@ def odometry_step(
         step = se3.inv(st.last_pose) @ pose
         predict = pose @ step
         new_submap = update_submap(st.submap, feats, pose, cfg)
+        gmap = (
+            _accumulate_global_map(st.global_map, raw, pose, cfg)
+            if cfg.odometry.mapping_flag
+            else st.global_map
+        )
         return (
             OdometryState(
                 submap=new_submap,
@@ -344,6 +375,7 @@ def odometry_step(
                 last_pose=pose,
                 predict=predict,
                 frame_idx=st.frame_idx + 1,
+                global_map=gmap,
             ),
             pose,
             diag,
