@@ -66,6 +66,9 @@ class FeatureConfig:
     planar_scan_thres: float = 0.75
     planar_submap_thres: float = 0.65
     planar_vertic_thres: float = 0.25
+    # "cell": cell-aggregated 27-neighborhood PCA (TPU-fast default);
+    # "exact": per-point hybrid-search kNN PCA (reference-faithful)
+    pca_mode: str = "cell"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,6 +104,11 @@ class TLSConfig:
     # addSurfCostFactor) or "gicp" (its PlaneToPlaneErr/addSurfCostFactor2
     # covariance-weighted variant, registration.cpp:119-160,649-702)
     plane_residual: str = "point_to_plane"
+    # correspondence engine: "cell_plane" precomputes 27-cell-window plane /
+    # line fits over the submap once per solve and answers queries with hash
+    # probes (TPU-fast default); "knn" re-fits from per-query k-nearest
+    # neighbors every iteration (reference-faithful)
+    corr_mode: str = "cell_plane"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,15 +37,15 @@ _POLAR_CAP = 512  # static cap on radial bins (~400 used for 120 m range)
 
 
 def _hash3(c: jax.Array) -> jax.Array:
-    return (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
+    return c[..., 0] * _P1 + c[..., 1] * _P2 + c[..., 2] * _P3
 
 
 def _hash3b(cx: jax.Array, cy: jax.Array, cz: jax.Array) -> jax.Array:
     """Independent secondary hash for collision rejection."""
     return (
-        (cx * jnp.int32(0x9E3779B1 & 0x7FFFFFFF))
-        ^ (cy * jnp.int32(0x85EBCA77 & 0x7FFFFFFF))
-        ^ (cz * jnp.int32(0xC2B2AE3D & 0x7FFFFFFF))
+        cx * jnp.int32(0x9E3779B1 & 0x7FFFFFFF)
+        + cy * jnp.int32(0x85EBCA77 & 0x7FFFFFFF)
+        + cz * jnp.int32(0xC2B2AE3D & 0x7FFFFFFF)
     )
 
 
@@ -98,7 +98,8 @@ def _voxelize(coords: jax.Array, ok: jax.Array, max_voxels: int):
     voxel table or -1)."""
     n = coords.shape[0]
     c = jnp.where(ok[:, None], coords, _SENT)
-    order = jnp.lexsort((c[:, 2], c[:, 1], c[:, 0]))
+    pkeys = jnp.where(ok, _hash3(c), _SENT)
+    order = jnp.argsort(pkeys)  # single-pass; boundaries below use exact coords
     cs = c[order]
     ok_s = ok[order]
     first = jnp.concatenate(
@@ -152,9 +153,7 @@ def dcvc_segment(
     # (see ops/voxel.py docstring).
     keys = jnp.where(vox_valid, _hash3(vox_coords), _SENT)
     keys2 = _hash3b(vox_coords[:, 0], vox_coords[:, 1], vox_coords[:, 2])
-    order = jnp.lexsort(
-        (vox_coords[:, 2], vox_coords[:, 1], vox_coords[:, 0], keys)
-    )
+    order = jnp.argsort(keys)  # voxels are unique cells: keys ~unique
     keys_s = keys[order]
     keys2_s = keys2[order]
 
@@ -168,7 +167,7 @@ def dcvc_segment(
     ph = vox_coords[:, 2:3] + offs[None, :, 2]
     # pitch/polar out-of-range neighbors simply won't match any voxel.
 
-    nbr_hash = (ax * _P1) ^ (py * _P2) ^ (ph * _P3)
+    nbr_hash = ax * _P1 + py * _P2 + ph * _P3
     nbr_hash2 = _hash3b(ax, py, ph)
     pos = jnp.searchsorted(keys_s, nbr_hash, side="left")
     V = max_voxels

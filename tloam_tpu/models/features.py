@@ -91,6 +91,117 @@ def calculate_pca_info(
     return PCAInfo(normal, cvr, flatness, sphericity, n_neigh, has_info, idx, ok)
 
 
+def calculate_pca_info_cell(
+    cloud: Cloud, cfg: FeatureConfig, max_cells: int = 65536
+) -> PCAInfo:
+    """Cell-aggregated PCA — the TPU-fast path (FeatureConfig.pca_mode
+    "cell").
+
+    Instead of a per-point kNN gather (the reference's KD-tree hybrid search,
+    feature_extract.cpp:60-70, and our exact mode), points are binned into
+    cells of pitch `radius`; second-order moment sums are segment-reduced per
+    cell, each cell aggregates its 27-neighborhood (a (3r)^3 box window
+    standing in for the radius-r ball), and every point inherits its cell's
+    eigen-features. Cuts the dominant HBM gather traffic ~16x; classification
+    agreement with the exact mode is asserted in tests, and odometry parity
+    is measured at the pose level (SURVEY.md §hard-parts b).
+
+    The local-max-cvr sphere gate becomes "cell cvr >= all neighbor cell
+    cvrs"; neigh_idx/neigh_ok are not provided in this mode (empty)."""
+    dtype = cloud.xyz.dtype
+    n = cloud.capacity
+    table = voxel.build_cell_table(cloud.xyz, cloud.valid, cfg.radius, max_cells)
+    nbr = voxel.cell_neighbor_index(table)  # (V,27)
+
+    x, y, z = cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]
+    m = cloud.valid.astype(dtype)
+    seg = jnp.where(cloud.valid, table.point_cell, max_cells)
+    seg = jnp.where(seg < 0, max_cells, seg)
+
+    def cell_sum(v):
+        return jax.ops.segment_sum(v * m, seg, num_segments=max_cells + 1)[:max_cells]
+
+    mom = [
+        cell_sum(jnp.ones_like(x)),
+        cell_sum(x), cell_sum(y), cell_sum(z),
+        cell_sum(x * x), cell_sum(x * y), cell_sum(x * z),
+        cell_sum(y * y), cell_sum(y * z), cell_sum(z * z),
+    ]
+
+    # aggregate the 27-neighborhood per cell (scalar-plane gathers)
+    nbr_safe = jnp.maximum(nbr, 0)
+    has = (nbr >= 0).astype(dtype)
+
+    def window(v):
+        return jnp.sum(v[nbr_safe] * has, axis=1)
+
+    w_cnt = window(mom[0])
+    cnt = jnp.maximum(w_cnt, 1.0)
+    mx, my, mz = window(mom[1]) / cnt, window(mom[2]) / cnt, window(mom[3]) / cnt
+    a00 = window(mom[4]) / cnt - mx * mx
+    a01 = window(mom[5]) / cnt - mx * my
+    a02 = window(mom[6]) / cnt - mx * mz
+    a11 = window(mom[7]) / cnt - my * my
+    a12 = window(mom[8]) / cnt - my * mz
+    a22 = window(mom[9]) / cnt - mz * mz
+
+    lam0, lam1, lam2 = eig3.eigvalsh3_soa(a00, a01, a02, a11, a12, a22)
+    nx_, ny_, nz_ = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam0)
+    lam_sum = lam0 + lam1 + lam2
+    c_cvr = jnp.where(lam_sum > 0, lam0 / jnp.maximum(lam_sum, 1e-30), 0.0)
+    lam_hi = jnp.maximum(lam2, 1e-30)
+    c_flat = (lam1 - lam0) / lam_hi
+    c_sph = lam0 / lam_hi
+    # neighbor-local-max of cvr at the cell level
+    nbr_cvr = jnp.where(nbr >= 0, c_cvr[nbr_safe], -jnp.inf)
+    c_localmax = jnp.all(c_cvr[:, None] >= nbr_cvr, axis=1)
+
+    # broadcast cell features to points
+    pc = jnp.maximum(table.point_cell, 0)
+    in_cell = table.point_cell >= 0
+    normal = jnp.stack(
+        [jnp.where(in_cell, nx_[pc], 1.0),
+         jnp.where(in_cell, ny_[pc], 0.0),
+         jnp.where(in_cell, nz_[pc], 0.0)],
+        axis=-1,
+    )
+    cvr = jnp.where(in_cell, c_cvr[pc], 0.0)
+    flat = jnp.where(in_cell, c_flat[pc], 0.0)
+    sph = jnp.where(in_cell, c_sph[pc], 0.0)
+    n_neigh = jnp.where(in_cell, w_cnt[pc].astype(jnp.int32), 0)
+    has_info = cloud.valid & in_cell & (n_neigh > cfg.min_neigh)
+    # store the local-max verdict per point in neigh_ok[:, 0]; neigh_idx empty
+    localmax_pt = jnp.where(in_cell, c_localmax[pc], False)
+    return PCAInfo(
+        normal, cvr, flat, sph, n_neigh, has_info,
+        neigh_idx=jnp.zeros((n, 1), jnp.int32),
+        neigh_ok=localmax_pt[:, None],
+    )
+
+
+def top_k_mask(score: jax.Array, cls: jax.Array, k: int, iters: int = 18) -> jax.Array:
+    """Mask of (about) the k highest-score points among `cls`, via threshold
+    bisection — replaces an O(N log N) TPU sort/top_k with O(iters*N)
+    elementwise passes ("rank < k" becomes "score >= t_k"; exact up to ties
+    at the final threshold)."""
+    s = jnp.where(cls, score, -jnp.inf)
+    total = jnp.sum(cls)
+    smax = jnp.max(jnp.where(cls, score, -jnp.inf))
+    smin = jnp.min(jnp.where(cls, score, jnp.inf))
+    lo = jnp.where(jnp.isfinite(smin), smin, 0.0)
+    hi = jnp.where(jnp.isfinite(smax), smax, 1.0) + 1e-6
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(s >= mid)
+        # too many above mid -> raise the bar
+        return jnp.where(cnt > k, mid, lo), jnp.where(cnt > k, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return jnp.where(total <= k, cls, cls & (s >= hi))
+
+
 class FeatureSelection(NamedTuple):
     planar_scan: jax.Array  # (N,) mask
     planar_submap: jax.Array  # (N,) mask
@@ -107,7 +218,16 @@ def extract_planar_sphere(
 ) -> FeatureSelection:
     """Classify + rank planar/sphere features (extractPlanarSphere,
     feature_extract.cpp:131-197). Returns slot masks over the input cloud."""
-    pca = calculate_pca_info(cloud, cfg, max_per_cell)
+    if cfg.pca_mode == "cell":
+        pca = calculate_pca_info_cell(cloud, cfg)
+        local_max = pca.neigh_ok[:, 0]  # precomputed cell-level verdict
+    else:
+        pca = calculate_pca_info(cloud, cfg, max_per_cell)
+        # local max of cvr across the point's own neighbor set
+        neigh_cvr = jnp.where(pca.neigh_ok, pca.cvr[pca.neigh_idx], -jnp.inf)
+        local_max = jnp.all(
+            jnp.where(pca.neigh_ok, pca.cvr[:, None] >= neigh_cvr, True), axis=-1
+        )
     n = cloud.capacity
 
     planar_cls = (
@@ -116,46 +236,29 @@ def extract_planar_sphere(
         & (jnp.abs(pca.normal[:, 2]) < cfg.planar_vertic_thres)
     )
     # sphere: else-branch (NOT planar), cvr over threshold, local max of cvr
-    # across own neighbors
-    neigh_cvr = jnp.where(pca.neigh_ok, pca.cvr[pca.neigh_idx], -jnp.inf)
-    local_max = jnp.all(
-        jnp.where(pca.neigh_ok, pca.cvr[:, None] >= neigh_cvr, True), axis=-1
-    )
     sphere_cls = (
         pca.has_info & ~planar_cls & (pca.cvr > cfg.cvr_submap) & local_max
     )
 
-    def rank_desc(score, cls):
-        """Descending rank among classified points (ties by index)."""
-        s = jnp.where(cls, score, -jnp.inf)
-        order = jnp.argsort(-s, stable=True)
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.arange(n, dtype=jnp.int32)
-        )
-        return rank
-
-    planar_rank = rank_desc(pca.flatness, planar_cls)
     planar_scan = planar_cls & (
-        (planar_rank < cfg.planar_num) | (pca.flatness > cfg.planar_scan_thres)
+        top_k_mask(pca.flatness, planar_cls, cfg.planar_num)
+        | (pca.flatness > cfg.planar_scan_thres)
     )
-    sphere_rank = rank_desc(pca.flatness, sphere_cls)  # sorted by flatness (quirk)
+    # scan sphere keeps the top sphere_num by flatness (the reference sorts
+    # the sphere list by FLATNESS and compares against cvr_scan — quirks kept)
+    sphere_top = top_k_mask(pca.flatness, sphere_cls, cfg.sphere_num)
     if sphere_index_bug:
         # bit-faithful reference bug: the selected "sphere" indices are the
         # RANKS, i.e. the first `count` slots of the input cloud.
         count = jnp.sum(sphere_cls)
         keep = jnp.minimum(
             count,
-            jnp.sum(
-                sphere_cls
-                & ((sphere_rank < cfg.sphere_num) | (pca.flatness > cfg.cvr_scan))
-            ),
+            jnp.sum(sphere_cls & (sphere_top | (pca.flatness > cfg.cvr_scan))),
         )
         sphere_scan = (jnp.arange(n) < keep) & cloud.valid
         sphere_submap = (jnp.arange(n) < count) & cloud.valid
     else:
-        sphere_scan = sphere_cls & (
-            (sphere_rank < cfg.sphere_num) | (pca.flatness > cfg.cvr_scan)
-        )
+        sphere_scan = sphere_cls & (sphere_top | (pca.flatness > cfg.cvr_scan))
         sphere_submap = sphere_cls
     return FeatureSelection(planar_scan, planar_cls, sphere_scan, sphere_submap, pca)
 
@@ -163,13 +266,24 @@ def extract_planar_sphere(
 def gather_top(
     cloud: Cloud, mask: jax.Array, score: jax.Array, capacity: int
 ) -> Cloud:
-    """Compact the masked points into a fixed-capacity Cloud, keeping the
-    highest-score points first (deterministic truncation when over capacity)."""
-    s = jnp.where(mask, score, -jnp.inf)
-    _, idx = jax.lax.top_k(s, capacity)
-    keep = mask[idx]
+    """Compact the masked points into a fixed-capacity Cloud, preferring the
+    highest-score points when over capacity.
+
+    Sort-free: a threshold bisection narrows the selection to <= capacity
+    (plus threshold ties, resolved first-come), then a cumsum scatter
+    compacts — O(N) instead of a big-k lax.top_k (which is a near-full sort
+    on TPU)."""
+    sel = top_k_mask(score, mask, capacity)
+    rank = jnp.cumsum(sel) - 1
+    ok = sel & (rank < capacity)
+    slot = jnp.where(ok, rank, capacity)
+    out_xyz = jnp.zeros((capacity + 1, 3), cloud.xyz.dtype).at[slot].set(cloud.xyz)
+    out_int = jnp.zeros((capacity + 1,), cloud.intensity.dtype).at[slot].set(
+        cloud.intensity
+    )
+    out_valid = jnp.zeros((capacity + 1,), bool).at[slot].set(ok)
     return Cloud(
-        xyz=cloud.xyz[idx],
-        intensity=cloud.intensity[idx],
-        valid=keep,
+        xyz=out_xyz[:capacity],
+        intensity=out_int[:capacity],
+        valid=out_valid[:capacity],
     )

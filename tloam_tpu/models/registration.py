@@ -141,6 +141,180 @@ def _cap_first_n(valid: jax.Array, maxnum: int) -> jax.Array:
     return valid & (jnp.cumsum(valid.astype(jnp.int32)) <= maxnum)
 
 
+# ---------------------------------------------------------------------------
+# Cell-plane correspondence cache (corr_mode="cell_plane")
+# ---------------------------------------------------------------------------
+
+
+class _SurfCells(NamedTuple):
+    """Per-cell precomputed surface geometry over a submap feature cloud.
+
+    The submap is constant for the whole GNC solve, so window plane/line
+    fits are computed ONCE here; each iteration's correspondence search
+    reduces to 27 hash probes + a nearest-centroid pick (no candidate-point
+    gathers, no per-query eigensolves — the TPU-fast replacement for the
+    reference's per-point SearchHybrid + fitBestPlane per iteration)."""
+
+    keys_s: jax.Array  # (V,) sorted primary hashes
+    keys2_s: jax.Array  # (V,) secondary hashes (sorted order)
+    order: jax.Array  # (V,) sorted slot -> table row
+    cenx: jax.Array  # (V,) window centroid (table-row order)
+    ceny: jax.Array
+    cenz: jax.Array
+    nx: jax.Array  # (V,) window plane normal
+    ny: jax.Array
+    nz: jax.Array
+    dd: jax.Array  # (V,) plane offset
+    dirx: jax.Array  # (V,) window line direction (largest eigenvector)
+    diry: jax.Array
+    dirz: jax.Array
+    ok_plane: jax.Array  # (V,)
+    ok_line: jax.Array  # (V,)
+    cell_size: jax.Array
+
+
+def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
+    """Window (27-cell) moment aggregation -> plane + line fits per cell.
+
+    Plane uses the reference's weighted-axis formula (fitBestPlane,
+    registration.cpp:303-368) on the window moments; the precision gate
+    approximates "every neighbor within 0.2 of the plane"
+    (registration.cpp:606-612) by 2*sqrt(lambda0) <= 0.2."""
+    from tloam_tpu.models.segmentation import weighted_axis_plane
+
+    dtype = cloud.xyz.dtype
+    table = voxel.build_cell_table(cloud.xyz, cloud.valid, cell_size, max_cells)
+    nbr = voxel.cell_neighbor_index(table)  # (V,27)
+
+    x, y, z = cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]
+    m = cloud.valid.astype(dtype)
+    seg = jnp.where(cloud.valid & (table.point_cell >= 0), table.point_cell, max_cells)
+
+    def cell_sum(v):
+        return jax.ops.segment_sum(v * m, seg, num_segments=max_cells + 1)[:max_cells]
+
+    mom = [
+        cell_sum(jnp.ones_like(x)),
+        cell_sum(x), cell_sum(y), cell_sum(z),
+        cell_sum(x * x), cell_sum(x * y), cell_sum(x * z),
+        cell_sum(y * y), cell_sum(y * z), cell_sum(z * z),
+    ]
+    nbr_safe = jnp.maximum(nbr, 0)
+    has = (nbr >= 0).astype(dtype)
+
+    def window(v):
+        return jnp.sum(v[nbr_safe] * has, axis=1)
+
+    w_cnt = window(mom[0])
+    cnt = jnp.maximum(w_cnt, 1.0)
+    sx, sy, sz = window(mom[1]), window(mom[2]), window(mom[3])
+    mxx, mxy, mxz = window(mom[4]), window(mom[5]), window(mom[6])
+    myy, myz, mzz = window(mom[7]), window(mom[8]), window(mom[9])
+
+    moments10 = jnp.stack(
+        [sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz, w_cnt], axis=-1
+    )
+    plane = weighted_axis_plane(moments10)  # (V,4) reference-formula fit
+
+    cenx, ceny, cenz = sx / cnt, sy / cnt, sz / cnt
+    a00 = mxx / cnt - cenx * cenx
+    a01 = mxy / cnt - cenx * ceny
+    a02 = mxz / cnt - cenx * cenz
+    a11 = myy / cnt - ceny * ceny
+    a12 = myz / cnt - ceny * cenz
+    a22 = mzz / cnt - cenz * cenz
+    lam0, lam1, lam2 = eig3.eigvalsh3_soa(a00, a01, a02, a11, a12, a22)
+    dirx, diry, dirz = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam2)
+
+    precise = 2.0 * jnp.sqrt(jnp.maximum(lam0, 0.0)) <= 0.2
+    ok_plane = table.cell_valid & (w_cnt >= 5) & precise
+    # edge gates: >=4 pts and lam_max > 3*lam_mid (registration.cpp:445,481)
+    ok_line = table.cell_valid & (w_cnt >= 4) & (lam2 > 3.0 * lam1)
+
+    return _SurfCells(
+        keys_s=table.keys_s,
+        keys2_s=table.keys2_s,
+        order=table.order,
+        cenx=cenx, ceny=ceny, cenz=cenz,
+        nx=plane[:, 0], ny=plane[:, 1], nz=plane[:, 2], dd=plane[:, 3],
+        dirx=dirx, diry=diry, dirz=dirz,
+        ok_plane=ok_plane,
+        ok_line=ok_line,
+        cell_size=jnp.asarray(cell_size, dtype),
+    )
+
+
+def _query_surf_cells(cells: _SurfCells, scan_w: jax.Array, scan_valid: jax.Array):
+    """27 hash probes per query -> the valid cell with the nearest window
+    centroid. Returns (row (Q,) table row or -1 , centroid distance (Q,))."""
+    from tloam_tpu.ops.voxel import _OFF1, _OFF2, _OFF3, _P1, _P2, _P3, _hash2_parts
+
+    V = cells.keys_s.shape[0]
+    qc = jnp.floor(scan_w / cells.cell_size).astype(jnp.int32)
+    nx = qc[:, 0:1] + _OFF1[None, :]
+    ny = qc[:, 1:2] + _OFF2[None, :]
+    nz = qc[:, 2:3] + _OFF3[None, :]
+    h1 = nx * _P1 + ny * _P2 + nz * _P3
+    h2 = _hash2_parts(nx, ny, nz)
+    pos = jnp.minimum(jnp.searchsorted(cells.keys_s, h1, side="left"), V - 1)
+    match = (cells.keys_s[pos] == h1) & (cells.keys2_s[pos] == h2)
+    row = jnp.where(match, cells.order[pos], 0)  # (Q,27)
+
+    dx = cells.cenx[row] - scan_w[:, 0:1]
+    dy = cells.ceny[row] - scan_w[:, 1:2]
+    dz = cells.cenz[row] - scan_w[:, 2:3]
+    dist_sq = dx * dx + dy * dy + dz * dz
+    BIG = jnp.asarray(jnp.finfo(scan_w.dtype).max, scan_w.dtype)
+    dist_sq = jnp.where(match & scan_valid[:, None], dist_sq, BIG)
+    best = jnp.argmin(dist_sq, axis=1)
+    best_row = jnp.take_along_axis(row, best[:, None], axis=1)[:, 0]
+    best_d = jnp.take_along_axis(dist_sq, best[:, None], axis=1)[:, 0]
+    found = best_d < BIG
+    return jnp.where(found, best_row, -1), jnp.sqrt(jnp.where(found, best_d, 0.0))
+
+
+def _plane_correspondences_cell(
+    cells: _SurfCells,
+    scan_w: jax.Array,
+    scan_valid: jax.Array,
+    dist_thres: float,
+    maxnum: int,
+):
+    row, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
+    r = jnp.maximum(row, 0)
+    nrm = jnp.stack([cells.nx[r], cells.ny[r], cells.nz[r]], axis=-1)
+    d = cells.dd[r]
+    valid = (
+        scan_valid
+        & (row >= 0)
+        & cells.ok_plane[r]
+        & (cen_dist <= dist_thres)
+    )
+    return nrm, d, _cap_first_n(valid, maxnum)
+
+
+def _edge_correspondences_cell(
+    cells: _SurfCells,
+    scan_w: jax.Array,
+    scan_valid: jax.Array,
+    cfg: TLSConfig,
+):
+    row, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
+    r = jnp.maximum(row, 0)
+    cen = jnp.stack([cells.cenx[r], cells.ceny[r], cells.cenz[r]], axis=-1)
+    direction = jnp.stack([cells.dirx[r], cells.diry[r], cells.dirz[r]], axis=-1)
+    valid = (
+        scan_valid
+        & (row >= 0)
+        & cells.ok_line[r]
+        & (jnp.abs(direction[:, 2]) > cfg.edge_dir_thres)
+        & (cen_dist <= cfg.edge_dist_thres)
+    )
+    a = cen + 0.1 * direction
+    b = cen - 0.1 * direction
+    return a, b, _cap_first_n(valid, cfg.edge_maxnum)
+
+
 def _plane_correspondences(
     grid: voxel.HashGrid,
     submap: Cloud,
@@ -260,14 +434,24 @@ def _build_correspondences(
     sphere_w = se3.transform(T, scan.sphere.xyz)
 
     if gicp_covs is None:
-        pn, pd, pv = _plane_correspondences(
-            grids["planar"], submap.planar, planar_w, scan.planar.valid,
-            cfg.planar_dist_thres, cfg.planar_maxnum, cfg.max_per_cell,
-        )
-        gn, gd, gv = _plane_correspondences(
-            grids["ground"], submap.ground, ground_w, scan.ground.valid,
-            cfg.ground_dist_thres, cfg.ground_maxnum, cfg.max_per_cell,
-        )
+        if cfg.corr_mode == "cell_plane":
+            pn, pd, pv = _plane_correspondences_cell(
+                grids["planar"], planar_w, scan.planar.valid,
+                cfg.planar_dist_thres, cfg.planar_maxnum,
+            )
+            gn, gd, gv = _plane_correspondences_cell(
+                grids["ground"], ground_w, scan.ground.valid,
+                cfg.ground_dist_thres, cfg.ground_maxnum,
+            )
+        else:
+            pn, pd, pv = _plane_correspondences(
+                grids["planar"], submap.planar, planar_w, scan.planar.valid,
+                cfg.planar_dist_thres, cfg.planar_maxnum, cfg.max_per_cell,
+            )
+            gn, gd, gv = _plane_correspondences(
+                grids["ground"], submap.ground, ground_w, scan.ground.valid,
+                cfg.ground_dist_thres, cfg.ground_maxnum, cfg.max_per_cell,
+            )
         covs = {}
     else:
         pn, p_cov, pv = _gicp_correspondences(
@@ -290,9 +474,14 @@ def _build_correspondences(
             "plane_src_cov": gicp_covs["scan_planar"],
             "ground_src_cov": gicp_covs["scan_ground"],
         }
-    ea, eb, ev = _edge_correspondences(
-        grids["edge"], submap.edge, edge_w, scan.edge.valid, cfg
-    )
+    if cfg.corr_mode == "cell_plane" and gicp_covs is None:
+        ea, eb, ev = _edge_correspondences_cell(
+            grids["edge"], edge_w, scan.edge.valid, cfg
+        )
+    else:
+        ea, eb, ev = _edge_correspondences(
+            grids["edge"], submap.edge, edge_w, scan.edge.valid, cfg
+        )
     st, sv = _sphere_correspondences(
         grids["sphere"], submap.sphere, sphere_w, scan.sphere.valid, cfg
     )
@@ -450,20 +639,43 @@ def scan_matching(
     omega_small = jnp.linalg.norm(xi0[3:]) < 1e-2
     xi0 = jnp.where(omega_small, xi0.at[3:].set(tiny), xi0)
 
-    grids = {
-        "edge": voxel.build_hash_grid(
-            submap.edge.xyz, submap.edge.valid, cfg.edge_dist_thres
-        ),
-        "sphere": voxel.build_hash_grid(
-            submap.sphere.xyz, submap.sphere.valid, cfg.sphere_dist_thres
-        ),
-        "planar": voxel.build_hash_grid(
-            submap.planar.xyz, submap.planar.valid, cfg.planar_dist_thres
-        ),
-        "ground": voxel.build_hash_grid(
-            submap.ground.xyz, submap.ground.valid, cfg.ground_dist_thres
-        ),
-    }
+    if cfg.corr_mode == "cell_plane" and cfg.plane_residual != "gicp":
+        # precompute window surface fits once — the submap is constant for
+        # the whole solve (the reference rebuilds KD-trees once per call too,
+        # registration.cpp:892-915, but re-fits planes EVERY query; our cell
+        # cache moves all fitting out of the iteration loop)
+        def cells_cap(c: Cloud) -> int:
+            return max(1024, min(4 * c.capacity, 65536))
+
+        grids = {
+            "edge": _build_surf_cells(
+                submap.edge, cfg.edge_dist_thres, cells_cap(submap.edge)
+            ),
+            "sphere": voxel.build_hash_grid(
+                submap.sphere.xyz, submap.sphere.valid, cfg.sphere_dist_thres
+            ),
+            "planar": _build_surf_cells(
+                submap.planar, cfg.planar_dist_thres, cells_cap(submap.planar)
+            ),
+            "ground": _build_surf_cells(
+                submap.ground, cfg.ground_dist_thres, cells_cap(submap.ground)
+            ),
+        }
+    else:
+        grids = {
+            "edge": voxel.build_hash_grid(
+                submap.edge.xyz, submap.edge.valid, cfg.edge_dist_thres
+            ),
+            "sphere": voxel.build_hash_grid(
+                submap.sphere.xyz, submap.sphere.valid, cfg.sphere_dist_thres
+            ),
+            "planar": voxel.build_hash_grid(
+                submap.planar.xyz, submap.planar.valid, cfg.planar_dist_thres
+            ),
+            "ground": voxel.build_hash_grid(
+                submap.ground.xyz, submap.ground.valid, cfg.ground_dist_thres
+            ),
+        }
 
     noise_bound_sq = cfg.noise_bound**2
     if noise_bound_sq < 1e-16:

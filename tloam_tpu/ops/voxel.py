@@ -35,10 +35,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# Teschner spatial-hash primes (int32 wraparound is well-defined in XLA);
-# the second hash uses an independent prime triple.
+# Spatial-hash constants. LINEAR forms (wrapping ADD of odd-prime products),
+# NOT XOR: an XOR hash of products is sign-symmetric — for odd products
+# (-a)^(-b) == a^b, so cells (x,y,z) and (-x,-y,z) collide in EVERY
+# XOR-of-products hash simultaneously, and LiDAR clouds are centered on the
+# sensor where such cell pairs coexist. A linear form only collides on huge
+# lattice vectors (~1e7 cells apart); two independent linear forms jointly
+# never collide within any realistic grid.
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
-_Q1, _Q2, _Q3 = 2654435761, 805459861, 3674653429
+_Q1, _Q2, _Q3 = 0x9E3779B1 & 0x7FFFFFFF, 0x85EBCA77 & 0x7FFFFFFF, 0xC2B2AE3D & 0x7FFFFFFF
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
@@ -47,23 +52,16 @@ def _cell_coords(points: jax.Array, cell_size) -> jax.Array:
 
 
 def _hash_coords(c: jax.Array) -> jax.Array:
-    return (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
+    return c[..., 0] * _P1 + c[..., 1] * _P2 + c[..., 2] * _P3
 
 
 def _hash2_coords(c: jax.Array) -> jax.Array:
-    h = (
-        (c[..., 0] * jnp.int32(_Q1 & 0x7FFFFFFF))
-        ^ (c[..., 1] * jnp.int32(_Q2))
-        ^ (c[..., 2] * jnp.int32(_Q3 & 0x7FFFFFFF))
-    )
-    return h
+    return _hash2_parts(c[..., 0], c[..., 1], c[..., 2])
 
 
 def _hash2_parts(cx: jax.Array, cy: jax.Array, cz: jax.Array) -> jax.Array:
     return (
-        (cx * jnp.int32(_Q1 & 0x7FFFFFFF))
-        ^ (cy * jnp.int32(_Q2))
-        ^ (cz * jnp.int32(_Q3 & 0x7FFFFFFF))
+        cx * jnp.int32(_Q1) + cy * jnp.int32(_Q2) + cz * jnp.int32(_Q3)
     )
 
 
@@ -87,9 +85,12 @@ def voxel_downsample(
     """
     coords = _cell_coords(xyz, voxel_size)
     coords = jnp.where(valid[:, None], coords, _SENTINEL)  # invalid sort last
-    # Exact lexicographic sort by cell — collision-free segmenting (a plain
-    # hash sort can interleave distinct cells that collide, splitting runs).
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    # Single-pass sort by the linear cell hash (TPU sorts are expensive);
+    # segment boundaries use the exact coords, so a rare hash collision at
+    # worst splits one voxel's run into two (a few duplicate output points),
+    # never merges distinct voxels.
+    keys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
+    order = jnp.argsort(keys)
     xyz_s = xyz[order]
     int_s = intensity[order]
     coords_s = coords[order]
@@ -148,10 +149,11 @@ def build_hash_grid(points: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
     coords = _cell_coords(points, cell_size)
     keys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
     keys2 = _hash2_coords(coords)
-    # Secondary lexicographic sort by cell coords keeps each cell's points
-    # contiguous even inside a colliding hash block (argsort alone would
-    # interleave colliding cells, hurting the first-C candidate gather).
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], keys))
+    # Single-key sort: same-cell points share a key so they stay contiguous;
+    # with the linear hash, distinct nearby cells essentially never collide,
+    # so no secondary ordering is needed (TPU sorts are expensive — one pass,
+    # not a 4-pass lexsort).
+    order = jnp.argsort(keys)
     return HashGrid(
         xs=points[order, 0],
         ys=points[order, 1],
@@ -185,7 +187,7 @@ def _query_block(
     nx = qc[:, 0:1] + _OFF1[None, :]
     ny = qc[:, 1:2] + _OFF2[None, :]
     nz = qc[:, 2:3] + _OFF3[None, :]
-    nbr_hash = (nx * _P1) ^ (ny * _P2) ^ (nz * _P3)  # (q,27)
+    nbr_hash = nx * _P1 + ny * _P2 + nz * _P3  # (q,27)
     nbr_hash2 = _hash2_parts(nx, ny, nz)
 
     start = jnp.searchsorted(grid.keys, nbr_hash, side="left")  # (q,27)
@@ -262,3 +264,87 @@ def gather_planes(points: jax.Array, idx: jax.Array):
     """Gather neighbor coordinates as three (Q,k) scalar planes (SoA) —
     avoids materializing a (Q,k,3) tensor (see module docstring)."""
     return points[:, 0][idx], points[:, 1][idx], points[:, 2][idx]
+
+
+# ---------------------------------------------------------------------------
+# Cell tables (unique-voxel indexing for cell-aggregation algorithms)
+# ---------------------------------------------------------------------------
+
+
+class CellTable(NamedTuple):
+    """Unique-cell index over a point buffer.
+
+    cx/cy/cz   : (V,) int32 cell coords of each unique cell (sentinel if unused)
+    cell_valid : (V,)
+    point_cell : (N,) int32 index into the cell table per point (-1 invalid)
+    keys_s     : (V,) sorted primary hashes of the cells
+    keys2_s    : (V,) secondary hashes in the same order
+    order      : (V,) table index for each sorted slot
+    """
+
+    cx: jax.Array
+    cy: jax.Array
+    cz: jax.Array
+    cell_valid: jax.Array
+    point_cell: jax.Array
+    keys_s: jax.Array
+    keys2_s: jax.Array
+    order: jax.Array
+
+
+def build_cell_table(
+    points: jax.Array, valid: jax.Array, cell_size, max_cells: int
+) -> CellTable:
+    """Deduplicate occupied cells (lexicographic) + hash lookup structure."""
+    n = points.shape[0]
+    coords = _cell_coords(points, cell_size)
+    coords = jnp.where(valid[:, None], coords, _SENTINEL)
+    pkeys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
+    order_p = jnp.argsort(pkeys)  # single-pass (see voxel_downsample note)
+    cs = coords[order_p]
+    ok_s = valid[order_p]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(cs[1:] != cs[:-1], axis=-1)]
+    )
+    seg = jnp.cumsum(first) - 1
+    seg_c = jnp.where(ok_s & (seg < max_cells), seg, max_cells)
+
+    def col(i):
+        out = jnp.full((max_cells + 1,), _SENTINEL, jnp.int32)
+        return out.at[seg_c].set(jnp.where(ok_s, cs[:, i], _SENTINEL))[:max_cells]
+
+    cx, cy, cz = col(0), col(1), col(2)
+    cell_valid = (
+        jax.ops.segment_sum(
+            ok_s.astype(jnp.int32), seg_c, num_segments=max_cells + 1
+        )[:max_cells]
+        > 0
+    )
+    point_cell = jnp.full((n,), -1, jnp.int32)
+    point_cell = point_cell.at[order_p].set(
+        jnp.where(seg_c < max_cells, seg_c, -1).astype(jnp.int32)
+    )
+
+    keys = jnp.where(cell_valid, cx * _P1 + cy * _P2 + cz * _P3, _SENTINEL)
+    keys2 = _hash2_parts(cx, cy, cz)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    return CellTable(
+        cx, cy, cz, cell_valid, point_cell, keys[order], keys2[order], order
+    )
+
+
+def cell_neighbor_index(table: CellTable) -> jax.Array:
+    """(V,27) index of each cell's 26-neighborhood (+self) into the table,
+    -1 where the neighbor cell is unoccupied. Double-hash matching, scalar
+    planes only (TPU tiling)."""
+    V = table.cx.shape[0]
+    nx = table.cx[:, None] + _OFF1[None, :]
+    ny = table.cy[:, None] + _OFF2[None, :]
+    nz = table.cz[:, None] + _OFF3[None, :]
+    h1 = nx * _P1 + ny * _P2 + nz * _P3
+    h2 = _hash2_parts(nx, ny, nz)
+    pos = jnp.searchsorted(table.keys_s, h1, side="left")
+    pos = jnp.minimum(pos, V - 1)
+    match = (table.keys_s[pos] == h1) & (table.keys2_s[pos] == h2)
+    match &= table.cell_valid[:, None]
+    return jnp.where(match, table.order[pos], -1)
