@@ -21,3 +21,18 @@ Layer map (bottom → top):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first-compile latency through the axon
+# remote-compile relay can exceed minutes; the cache cuts repeat runs to
+# ~sub-second. Opt out with TLOAM_NO_COMPILE_CACHE=1 or override the
+# directory with TLOAM_COMPILE_CACHE_DIR.
+import os as _os
+
+if not _os.environ.get("TLOAM_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("TLOAM_COMPILE_CACHE_DIR", "/tmp/tloam_jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

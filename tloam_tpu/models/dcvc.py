@@ -147,15 +147,17 @@ def dcvc_segment(
 
     width = int(round(360.0 / cfg.delta_a)) + 1  # 301 for deltaA=1.2
 
-    # hash table over voxels for neighbor lookup. Collision rejection uses a
-    # second independent hash instead of exact coord comparison — avoids
-    # large (...,3) tensors whose minor dim TPU tiling pads 3 -> 128
-    # (see ops/voxel.py docstring).
+    # hash table over voxels for neighbor lookup: direct-addressed table
+    # (4 packed probes; see ops/voxel.py on why not searchsorted), double
+    # hash instead of coord comparison (TPU minor-dim tiling).
+    from tloam_tpu.ops.voxel import build_direct_table, direct_lookup
+
     keys = jnp.where(vox_valid, _hash3(vox_coords), _SENT)
-    keys2 = _hash3b(vox_coords[:, 0], vox_coords[:, 1], vox_coords[:, 2])
-    order = jnp.argsort(keys)  # voxels are unique cells: keys ~unique
-    keys_s = keys[order]
-    keys2_s = keys2[order]
+    keys2 = jnp.where(
+        vox_valid, _hash3b(vox_coords[:, 0], vox_coords[:, 1], vox_coords[:, 2]), 0
+    )
+    V = max_voxels
+    dt = build_direct_table(keys, keys2, vox_valid, jnp.arange(V, dtype=jnp.int32))
 
     # neighbor cell coords as scalar (V,27) planes, azimuth clamp quirk:
     # ax<0 -> width-1; ax>300 -> 300 (searchKNN :897-900)
@@ -169,16 +171,8 @@ def dcvc_segment(
 
     nbr_hash = ax * _P1 + py * _P2 + ph * _P3
     nbr_hash2 = _hash3b(ax, py, ph)
-    pos = jnp.searchsorted(keys_s, nbr_hash, side="left")
-    V = max_voxels
-    C = 2  # colliding-hash chain probe depth
-    slots = (
-        pos[:, :, None] + jnp.arange(C, dtype=pos.dtype)[None, None, :]
-    ).reshape(V, 27 * C)
-    slots = jnp.minimum(slots, V - 1)
-    exp = lambda a: jnp.repeat(a, C, axis=1)
-    match = (keys_s[slots] == exp(nbr_hash)) & (keys2_s[slots] == exp(nbr_hash2))
-    nbr_idx = jnp.where(match, order[slots], -1)  # (V,27C) voxel table idx
+    nfound, nrow, _ = direct_lookup(dt, nbr_hash, nbr_hash2)
+    nbr_idx = jnp.where(nfound, nrow, -1)  # (V,27) voxel table idx
 
     # --- parallel connected components over voxels ---
     init_label = jnp.where(vox_valid, jnp.arange(V, dtype=jnp.int32), V - 1)

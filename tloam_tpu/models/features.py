@@ -132,18 +132,25 @@ def calculate_pca_info_cell(
     nbr_safe = jnp.maximum(nbr, 0)
     has = (nbr >= 0).astype(dtype)
 
-    def window(v):
-        return jnp.sum(v[nbr_safe] * has, axis=1)
+    # one packed (10, V*27) gather serves all moment columns (gather cost on
+    # TPU scales with index count, not row width)
+    momstack = jnp.stack(mom, axis=0)  # (10, V)
+    V = nbr.shape[0]
+    gathered = jnp.take(momstack, nbr_safe.reshape(-1), axis=1).reshape(10, V, 27)
+    win = jnp.sum(gathered * has[None], axis=2)  # (10, V)
 
-    w_cnt = window(mom[0])
+    def window(i):
+        return win[i]
+
+    w_cnt = window(0)
     cnt = jnp.maximum(w_cnt, 1.0)
-    mx, my, mz = window(mom[1]) / cnt, window(mom[2]) / cnt, window(mom[3]) / cnt
-    a00 = window(mom[4]) / cnt - mx * mx
-    a01 = window(mom[5]) / cnt - mx * my
-    a02 = window(mom[6]) / cnt - mx * mz
-    a11 = window(mom[7]) / cnt - my * my
-    a12 = window(mom[8]) / cnt - my * mz
-    a22 = window(mom[9]) / cnt - mz * mz
+    mx, my, mz = window(1) / cnt, window(2) / cnt, window(3) / cnt
+    a00 = window(4) / cnt - mx * mx
+    a01 = window(5) / cnt - mx * my
+    a02 = window(6) / cnt - mx * mz
+    a11 = window(7) / cnt - my * my
+    a12 = window(8) / cnt - my * mz
+    a22 = window(9) / cnt - mz * mz
 
     lam0, lam1, lam2 = eig3.eigvalsh3_soa(a00, a01, a02, a11, a12, a22)
     nx_, ny_, nz_ = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam0)

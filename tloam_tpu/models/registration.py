@@ -151,25 +151,18 @@ class _SurfCells(NamedTuple):
 
     The submap is constant for the whole GNC solve, so window plane/line
     fits are computed ONCE here; each iteration's correspondence search
-    reduces to 27 hash probes + a nearest-centroid pick (no candidate-point
-    gathers, no per-query eigensolves — the TPU-fast replacement for the
-    reference's per-point SearchHybrid + fitBestPlane per iteration)."""
+    reduces to 4 packed hash-table probes per neighbor cell + a nearest-
+    centroid pick (no candidate-point gathers, no per-query eigensolves —
+    the TPU-fast replacement for the reference's per-point SearchHybrid +
+    fitBestPlane per iteration).
 
-    keys_s: jax.Array  # (V,) sorted primary hashes
-    keys2_s: jax.Array  # (V,) secondary hashes (sorted order)
-    order: jax.Array  # (V,) sorted slot -> table row
-    cenx: jax.Array  # (V,) window centroid (table-row order)
-    ceny: jax.Array
-    cenz: jax.Array
-    nx: jax.Array  # (V,) window plane normal
-    ny: jax.Array
-    nz: jax.Array
-    dd: jax.Array  # (V,) plane offset
-    dirx: jax.Array  # (V,) window line direction (largest eigenvector)
-    diry: jax.Array
-    dirz: jax.Array
-    ok_plane: jax.Array  # (V,)
-    ok_line: jax.Array  # (V,)
+    surf: (12, V) packed per-cell data, one gather serves all columns:
+      rows 0-2 window centroid, 3-5 plane normal, 6 plane d,
+      7-9 line direction, 10 ok_plane, 11 ok_line.
+    """
+
+    dt: voxel.DirectTable
+    surf: jax.Array
     cell_size: jax.Array
 
 
@@ -202,14 +195,21 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
     nbr_safe = jnp.maximum(nbr, 0)
     has = (nbr >= 0).astype(dtype)
 
-    def window(v):
-        return jnp.sum(v[nbr_safe] * has, axis=1)
+    # one packed (10, V*27) gather serves all moment columns (gather cost on
+    # TPU scales with index count, not row width)
+    momstack = jnp.stack(mom, axis=0)  # (10, V)
+    V = nbr.shape[0]
+    gathered = jnp.take(momstack, nbr_safe.reshape(-1), axis=1).reshape(10, V, 27)
+    win = jnp.sum(gathered * has[None], axis=2)  # (10, V)
 
-    w_cnt = window(mom[0])
+    def window(i):
+        return win[i]
+
+    w_cnt = window(0)
     cnt = jnp.maximum(w_cnt, 1.0)
-    sx, sy, sz = window(mom[1]), window(mom[2]), window(mom[3])
-    mxx, mxy, mxz = window(mom[4]), window(mom[5]), window(mom[6])
-    myy, myz, mzz = window(mom[7]), window(mom[8]), window(mom[9])
+    sx, sy, sz = window(1), window(2), window(3)
+    mxx, mxy, mxz = window(4), window(5), window(6)
+    myy, myz, mzz = window(7), window(8), window(9)
 
     moments10 = jnp.stack(
         [sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz, w_cnt], axis=-1
@@ -231,46 +231,51 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
     # edge gates: >=4 pts and lam_max > 3*lam_mid (registration.cpp:445,481)
     ok_line = table.cell_valid & (w_cnt >= 4) & (lam2 > 3.0 * lam1)
 
+    surf = jnp.stack(
+        [
+            cenx, ceny, cenz,
+            plane[:, 0], plane[:, 1], plane[:, 2], plane[:, 3],
+            dirx, diry, dirz,
+            ok_plane.astype(dtype), ok_line.astype(dtype),
+        ],
+        axis=0,
+    )  # (12, V)
     return _SurfCells(
-        keys_s=table.keys_s,
-        keys2_s=table.keys2_s,
-        order=table.order,
-        cenx=cenx, ceny=ceny, cenz=cenz,
-        nx=plane[:, 0], ny=plane[:, 1], nz=plane[:, 2], dd=plane[:, 3],
-        dirx=dirx, diry=diry, dirz=dirz,
-        ok_plane=ok_plane,
-        ok_line=ok_line,
-        cell_size=jnp.asarray(cell_size, dtype),
+        dt=table.dt, surf=surf, cell_size=jnp.asarray(cell_size, dtype)
     )
 
 
 def _query_surf_cells(cells: _SurfCells, scan_w: jax.Array, scan_valid: jax.Array):
-    """27 hash probes per query -> the valid cell with the nearest window
-    centroid. Returns (row (Q,) table row or -1 , centroid distance (Q,))."""
-    from tloam_tpu.ops.voxel import _OFF1, _OFF2, _OFF3, _P1, _P2, _P3, _hash2_parts
+    """4 packed table probes per neighbor cell -> the matched cell with the
+    nearest window centroid. Returns data (12, Q) for the best cell per
+    query plus (found (Q,), centroid distance (Q,))."""
+    from tloam_tpu.ops.voxel import (
+        _OFF1, _OFF2, _OFF3, _P1, _P2, _P3, _hash2_parts, direct_lookup,
+    )
 
-    V = cells.keys_s.shape[0]
+    Q = scan_w.shape[0]
     qc = jnp.floor(scan_w / cells.cell_size).astype(jnp.int32)
     nx = qc[:, 0:1] + _OFF1[None, :]
     ny = qc[:, 1:2] + _OFF2[None, :]
     nz = qc[:, 2:3] + _OFF3[None, :]
     h1 = nx * _P1 + ny * _P2 + nz * _P3
     h2 = _hash2_parts(nx, ny, nz)
-    pos = jnp.minimum(jnp.searchsorted(cells.keys_s, h1, side="left"), V - 1)
-    match = (cells.keys_s[pos] == h1) & (cells.keys2_s[pos] == h2)
-    row = jnp.where(match, cells.order[pos], 0)  # (Q,27)
+    found, row, _ = direct_lookup(cells.dt, h1, h2)  # (Q,27)
 
-    dx = cells.cenx[row] - scan_w[:, 0:1]
-    dy = cells.ceny[row] - scan_w[:, 1:2]
-    dz = cells.cenz[row] - scan_w[:, 2:3]
+    rowf = jnp.where(found, row, 0).reshape(-1)
+    data = jnp.take(cells.surf, rowf, axis=1).reshape(12, Q, 27)
+
+    dx = data[0] - scan_w[:, 0:1]
+    dy = data[1] - scan_w[:, 1:2]
+    dz = data[2] - scan_w[:, 2:3]
     dist_sq = dx * dx + dy * dy + dz * dz
     BIG = jnp.asarray(jnp.finfo(scan_w.dtype).max, scan_w.dtype)
-    dist_sq = jnp.where(match & scan_valid[:, None], dist_sq, BIG)
-    best = jnp.argmin(dist_sq, axis=1)
-    best_row = jnp.take_along_axis(row, best[:, None], axis=1)[:, 0]
+    dist_sq = jnp.where(found & scan_valid[:, None], dist_sq, BIG)
+    best = jnp.argmin(dist_sq, axis=1)  # (Q,)
+    best_data = jnp.take_along_axis(data, best[None, :, None], axis=2)[:, :, 0]
     best_d = jnp.take_along_axis(dist_sq, best[:, None], axis=1)[:, 0]
-    found = best_d < BIG
-    return jnp.where(found, best_row, -1), jnp.sqrt(jnp.where(found, best_d, 0.0))
+    ok = best_d < BIG
+    return best_data, ok, jnp.sqrt(jnp.where(ok, best_d, 0.0))
 
 
 def _plane_correspondences_cell(
@@ -280,16 +285,10 @@ def _plane_correspondences_cell(
     dist_thres: float,
     maxnum: int,
 ):
-    row, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
-    r = jnp.maximum(row, 0)
-    nrm = jnp.stack([cells.nx[r], cells.ny[r], cells.nz[r]], axis=-1)
-    d = cells.dd[r]
-    valid = (
-        scan_valid
-        & (row >= 0)
-        & cells.ok_plane[r]
-        & (cen_dist <= dist_thres)
-    )
+    data, ok, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
+    nrm = jnp.stack([data[3], data[4], data[5]], axis=-1)
+    d = data[6]
+    valid = scan_valid & ok & (data[10] > 0.5) & (cen_dist <= dist_thres)
     return nrm, d, _cap_first_n(valid, maxnum)
 
 
@@ -299,14 +298,13 @@ def _edge_correspondences_cell(
     scan_valid: jax.Array,
     cfg: TLSConfig,
 ):
-    row, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
-    r = jnp.maximum(row, 0)
-    cen = jnp.stack([cells.cenx[r], cells.ceny[r], cells.cenz[r]], axis=-1)
-    direction = jnp.stack([cells.dirx[r], cells.diry[r], cells.dirz[r]], axis=-1)
+    data, ok, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
+    cen = jnp.stack([data[0], data[1], data[2]], axis=-1)
+    direction = jnp.stack([data[7], data[8], data[9]], axis=-1)
     valid = (
         scan_valid
-        & (row >= 0)
-        & cells.ok_line[r]
+        & ok
+        & (data[11] > 0.5)
         & (jnp.abs(direction[:, 2]) > cfg.edge_dir_thres)
         & (cen_dist <= cfg.edge_dist_thres)
     )

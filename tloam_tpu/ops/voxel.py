@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Spatial-hash constants. LINEAR forms (wrapping ADD of odd-prime products),
 # NOT XOR: an XOR hash of products is sign-symmetric — for odd products
@@ -119,49 +120,148 @@ def voxel_downsample(
 
 
 # ---------------------------------------------------------------------------
+# Direct-addressed (open-addressing) hash table
+# ---------------------------------------------------------------------------
+#
+# jnp.searchsorted lowers to a ~log2(M)-step binary search, each step a
+# dependent gather — 16 serial gather rounds for a 65k table. An
+# open-addressed table answers the same lookup in `probes` (default 4)
+# packed gathers: slot = (h1 + p) & (H-1), compare both hashes, done.
+
+
+_PROBES = 6  # open-addressing probe depth (static)
+_SIZE_FACTOR = 4  # table slots per entry (load factor 0.25)
+
+
+class DirectTable(NamedTuple):
+    """slots: (4, H) int32 packed rows [key1, key2, payload, payload2];
+    empty slots hold SENTINEL in row 0. Probe depth is the static _PROBES."""
+
+    slots: jax.Array
+
+
+def build_direct_table(
+    keys: jax.Array,
+    keys2: jax.Array,
+    valid: jax.Array,
+    payload: jax.Array,
+    payload2: jax.Array | None = None,
+) -> DirectTable:
+    """Insert V entries with linear probing, built in `probes` vectorized
+    rounds (per round: losers of a slot race retry at the next slot).
+    Entries unplaced after all rounds are dropped (~1e-3 at load factor 0.25
+    with 6 probes; callers tolerate a missed neighbor)."""
+    V = keys.shape[0]
+    H = 1 << int(np.ceil(np.log2(max(_SIZE_FACTOR * V, 64))))
+    mask = H - 1
+    if payload2 is None:
+        payload2 = jnp.zeros_like(payload)
+
+    slot_k1 = jnp.full((H,), _SENTINEL, jnp.int32)
+    slot_k2 = jnp.zeros((H,), jnp.int32)
+    slot_p1 = jnp.zeros((H,), jnp.int32)
+    slot_p2 = jnp.zeros((H,), jnp.int32)
+    placed = ~valid
+    rows = jnp.arange(V, dtype=jnp.int32)
+
+    for p in range(_PROBES):
+        want = (keys + p) & mask
+        want = jnp.where(placed, H, want)  # parked out of range
+        # one winner per contested EMPTY slot
+        empty = slot_k1[jnp.minimum(want, H - 1)] == _SENTINEL
+        cand = jnp.where(~placed & empty, want, H)
+        winner = jax.ops.segment_min(rows, cand, num_segments=H + 1)[:H]
+        is_winner = ~placed & empty & (winner[jnp.minimum(want, H - 1)] == rows)
+        tgt = jnp.where(is_winner, want, H)  # H = out of bounds -> dropped
+        slot_k1 = slot_k1.at[tgt].set(keys, mode="drop")
+        slot_k2 = slot_k2.at[tgt].set(keys2, mode="drop")
+        slot_p1 = slot_p1.at[tgt].set(payload, mode="drop")
+        slot_p2 = slot_p2.at[tgt].set(payload2, mode="drop")
+        placed = placed | is_winner
+
+    slots = jnp.stack([slot_k1, slot_k2, slot_p1, slot_p2], axis=0)
+    return DirectTable(slots=slots)
+
+
+def direct_lookup(
+    table: DirectTable, h1: jax.Array, h2: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Vectorized lookup. h1/h2 any shape. Returns (found (bool), payload,
+    payload2) — payloads 0 where not found."""
+    H = table.slots.shape[1]
+    mask = H - 1
+    shape = h1.shape
+    h1f = h1.reshape(-1)
+    h2f = h2.reshape(-1)
+    found = jnp.zeros_like(h1f, dtype=bool)
+    pay1 = jnp.zeros_like(h1f)
+    pay2 = jnp.zeros_like(h1f)
+    for p in range(_PROBES):
+        slot = (h1f + p) & mask
+        rowdata = jnp.take(table.slots, slot, axis=1)  # (4, n) one packed gather
+        hit = (rowdata[0] == h1f) & (rowdata[1] == h2f) & ~found
+        pay1 = jnp.where(hit, rowdata[2], pay1)
+        pay2 = jnp.where(hit, rowdata[3], pay2)
+        found = found | hit
+    return found.reshape(shape), pay1.reshape(shape), pay2.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
 # Hash-grid kNN
 # ---------------------------------------------------------------------------
 
 
 class HashGrid(NamedTuple):
-    """Sorted spatial-hash index over a fixed-capacity point buffer.
+    """Cell-run spatial index over a fixed-capacity point buffer.
 
-    xs/ys/zs : (M,) point coordinates in hash-sorted order (SoA — see module
-               docstring on TPU tiling)
-    keys     : (M,)  int32 sorted primary hash (invalid = INT32_MAX)
-    keys2    : (M,)  int32 secondary hash for collision rejection
+    pts3     : (3, M) point coordinates in hash-sorted order, packed so ONE
+               gather serves x, y and z (see module docstring on TPU tiling)
     src_idx  : (M,)  original buffer index of each sorted slot
-    valid    : (M,)  validity in sorted order
+    dt       : DirectTable mapping (h1,h2) of a cell -> (run start, count)
+               in the sorted order; replaces binary search entirely
     cell_size: ()    float — the grid pitch (= default query radius)
     """
 
-    xs: jax.Array
-    ys: jax.Array
-    zs: jax.Array
-    keys: jax.Array
-    keys2: jax.Array
+    pts3: jax.Array
     src_idx: jax.Array
-    valid: jax.Array
+    dt: "DirectTable"
     cell_size: jax.Array
 
 
 def build_hash_grid(points: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
+    M = points.shape[0]
     coords = _cell_coords(points, cell_size)
     keys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
-    keys2 = _hash2_coords(coords)
+    keys2 = jnp.where(valid, _hash2_coords(coords), 0)
     # Single-key sort: same-cell points share a key so they stay contiguous;
     # with the linear hash, distinct nearby cells essentially never collide,
     # so no secondary ordering is needed (TPU sorts are expensive — one pass,
     # not a 4-pass lexsort).
     order = jnp.argsort(keys)
+    keys_s = keys[order]
+    keys2_s = keys2[order]
+
+    # cell runs: start positions + counts, addressed by the direct table
+    run_first = jnp.concatenate(
+        [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]
+    ) & (keys_s != _SENTINEL)
+    cell_id = jnp.cumsum(run_first) - 1  # (M,) id of each slot's cell
+    cell_id_c = jnp.where(keys_s != _SENTINEL, cell_id, M)
+    pos = jnp.arange(M, dtype=jnp.int32)
+    tgt = jnp.where(run_first, cell_id, M)
+    starts = jnp.zeros((M,), jnp.int32).at[tgt].set(pos, mode="drop")
+    counts = jax.ops.segment_sum(
+        jnp.ones((M,), jnp.int32), cell_id_c, num_segments=M + 1
+    )[:M]
+    cell_key = jnp.full((M,), _SENTINEL, jnp.int32).at[tgt].set(keys_s, mode="drop")
+    cell_key2 = jnp.zeros((M,), jnp.int32).at[tgt].set(keys2_s, mode="drop")
+    dt = build_direct_table(
+        cell_key, cell_key2, cell_key != _SENTINEL, starts, counts
+    )
     return HashGrid(
-        xs=points[order, 0],
-        ys=points[order, 1],
-        zs=points[order, 2],
-        keys=keys[order],
-        keys2=keys2[order],
+        pts3=points[order].T,
         src_idx=order.astype(jnp.int32),
-        valid=valid[order],
+        dt=dt,
         cell_size=jnp.asarray(cell_size, points.dtype),
     )
 
@@ -179,7 +279,7 @@ def _query_block(
     r,
     C: int,
 ):
-    M = grid.keys.shape[0]
+    M = grid.src_idx.shape[0]
     q = queries.shape[0]
 
     qc = _cell_coords(queries, grid.cell_size)  # (q,3)
@@ -190,25 +290,23 @@ def _query_block(
     nbr_hash = nx * _P1 + ny * _P2 + nz * _P3  # (q,27)
     nbr_hash2 = _hash2_parts(nx, ny, nz)
 
-    start = jnp.searchsorted(grid.keys, nbr_hash, side="left")  # (q,27)
+    found, start, count = direct_lookup(grid.dt, nbr_hash, nbr_hash2)  # (q,27)
 
     # candidate slots in (q, 27*C) planes — large axis minor (TPU tiling)
     slots = (
         start[:, :, None] + jnp.arange(C, dtype=start.dtype)[None, None, :]
     ).reshape(q, 27 * C)
-    exp = lambda a: jnp.repeat(a, C, axis=1)  # (q,27) -> (q,27C)
-    in_bounds = slots < M
     slots_c = jnp.minimum(slots, M - 1)
+    within = (
+        jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        < jnp.minimum(count, C)[:, :, None]
+    ).reshape(q, 27 * C)
+    match = within & jnp.repeat(found, C, axis=1)
 
-    match = (
-        in_bounds
-        & grid.valid[slots_c]
-        & (grid.keys[slots_c] == exp(nbr_hash))
-        & (grid.keys2[slots_c] == exp(nbr_hash2))
-    )
-    dx = grid.xs[slots_c] - queries[:, 0:1]
-    dy = grid.ys[slots_c] - queries[:, 1:2]
-    dz = grid.zs[slots_c] - queries[:, 2:3]
+    cand = jnp.take(grid.pts3, slots_c.reshape(-1), axis=1).reshape(3, q, 27 * C)
+    dx = cand[0] - queries[:, 0:1]
+    dy = cand[1] - queries[:, 1:2]
+    dz = cand[2] - queries[:, 2:3]
     dist_sq = dx * dx + dy * dy + dz * dz
     ok = match & (dist_sq <= r * r) & query_valid[:, None]
 
@@ -277,9 +375,7 @@ class CellTable(NamedTuple):
     cx/cy/cz   : (V,) int32 cell coords of each unique cell (sentinel if unused)
     cell_valid : (V,)
     point_cell : (N,) int32 index into the cell table per point (-1 invalid)
-    keys_s     : (V,) sorted primary hashes of the cells
-    keys2_s    : (V,) secondary hashes in the same order
-    order      : (V,) table index for each sorted slot
+    dt         : DirectTable mapping (h1,h2) -> table row
     """
 
     cx: jax.Array
@@ -287,9 +383,7 @@ class CellTable(NamedTuple):
     cz: jax.Array
     cell_valid: jax.Array
     point_cell: jax.Array
-    keys_s: jax.Array
-    keys2_s: jax.Array
-    order: jax.Array
+    dt: "DirectTable"
 
 
 def build_cell_table(
@@ -327,24 +421,21 @@ def build_cell_table(
 
     keys = jnp.where(cell_valid, cx * _P1 + cy * _P2 + cz * _P3, _SENTINEL)
     keys2 = _hash2_parts(cx, cy, cz)
-    order = jnp.argsort(keys).astype(jnp.int32)
-    return CellTable(
-        cx, cy, cz, cell_valid, point_cell, keys[order], keys2[order], order
+    dt = build_direct_table(
+        keys, keys2, cell_valid, jnp.arange(max_cells, dtype=jnp.int32)
     )
+    return CellTable(cx, cy, cz, cell_valid, point_cell, dt)
 
 
 def cell_neighbor_index(table: CellTable) -> jax.Array:
     """(V,27) index of each cell's 26-neighborhood (+self) into the table,
-    -1 where the neighbor cell is unoccupied. Double-hash matching, scalar
-    planes only (TPU tiling)."""
-    V = table.cx.shape[0]
+    -1 where the neighbor cell is unoccupied. Direct-table lookup (4 packed
+    probes) instead of a 16-step binary search."""
     nx = table.cx[:, None] + _OFF1[None, :]
     ny = table.cy[:, None] + _OFF2[None, :]
     nz = table.cz[:, None] + _OFF3[None, :]
     h1 = nx * _P1 + ny * _P2 + nz * _P3
     h2 = _hash2_parts(nx, ny, nz)
-    pos = jnp.searchsorted(table.keys_s, h1, side="left")
-    pos = jnp.minimum(pos, V - 1)
-    match = (table.keys_s[pos] == h1) & (table.keys2_s[pos] == h2)
-    match &= table.cell_valid[:, None]
-    return jnp.where(match, table.order[pos], -1)
+    found, row, _ = direct_lookup(table.dt, h1, h2)
+    found &= table.cell_valid[:, None]
+    return jnp.where(found, row, -1)
