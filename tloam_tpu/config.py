@@ -109,6 +109,11 @@ class TLSConfig:
     # probes (TPU-fast default); "knn" re-fits from per-query k-nearest
     # neighbors every iteration (reference-faithful)
     corr_mode: str = "cell_plane"
+    # failure containment: if fewer total correspondences than this survive,
+    # keep the motion-model prediction instead of trusting a degenerate
+    # solve (the reference ASSERTS >=10 features per class and aborts the
+    # process, registration.cpp:928-929; we degrade gracefully instead)
+    min_total_corr: int = 30
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,6 +63,9 @@ class Diagnostics(NamedTuple):
     mu: jax.Array
     costs: jax.Array  # (4,) final [planar, ground, edge, sphere] cost sums
     num_corr: jax.Array  # (4,) correspondence counts at the last iteration
+    degenerate: jax.Array  # () bool — too few correspondences; pose fell
+    # back to the motion-model prediction (reference aborts instead,
+    # registration.cpp:928-929)
 
 
 class _Corr(NamedTuple):
@@ -643,7 +646,9 @@ def scan_matching(
         # registration.cpp:892-915, but re-fits planes EVERY query; our cell
         # cache moves all fitting out of the iteration loop)
         def cells_cap(c: Cloud) -> int:
-            return max(1024, min(4 * c.capacity, 65536))
+            # occupied cells can never exceed the point count; the window
+            # gathers cost O(max_cells * 27), so don't over-size
+            return max(1024, min(c.capacity, 65536))
 
         grids = {
             "edge": _build_surf_cells(
@@ -787,7 +792,13 @@ def scan_matching(
     )
 
     pose = se3.exp(final.xi)
-    return pose, Diagnostics(final.it, final.mu, final.costs, final.num_corr)
+    # degenerate-frame containment: with too few correspondences the normal
+    # equations are ill-posed — keep the motion-model prediction.
+    degenerate = jnp.sum(final.num_corr) < cfg.min_total_corr
+    pose = jnp.where(degenerate, predict_pose.astype(dtype), pose)
+    return pose, Diagnostics(
+        final.it, final.mu, final.costs, final.num_corr, degenerate
+    )
 
 
 def fitness_score(

@@ -109,5 +109,9 @@ def _diag_struct():
     from tloam_tpu.models.registration import Diagnostics
 
     return Diagnostics(
-        iterations=jnp.int32(0), mu=0.0, costs=jnp.zeros(4), num_corr=jnp.zeros(4, jnp.int32)
+        iterations=jnp.int32(0),
+        mu=0.0,
+        costs=jnp.zeros(4),
+        num_corr=jnp.zeros(4, jnp.int32),
+        degenerate=jnp.asarray(False),
     )

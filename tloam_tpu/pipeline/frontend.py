@@ -344,6 +344,7 @@ def odometry_step(
             jnp.asarray(0.0, raw.xyz.dtype),
             jnp.zeros(4, raw.xyz.dtype),
             jnp.zeros(4, jnp.int32),
+            jnp.asarray(False),
         )
         gmap = (
             _accumulate_global_map(st.global_map, raw, st.pose, cfg)
