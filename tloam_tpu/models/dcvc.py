@@ -138,7 +138,7 @@ def dcvc_segment(
     sensor: SensorConfig,
     max_voxels: int = 16384,
     max_clusters: int = 128,
-    cc_iters: int = 64,
+    cc_iters: int = 32,
 ) -> DCVCResult:
     """Cluster the non-ground cloud into objects (reference objectSegmentation,
     segmentation.cpp:1085-1112)."""
@@ -177,18 +177,18 @@ def dcvc_segment(
     # --- parallel connected components over voxels ---
     init_label = jnp.where(vox_valid, jnp.arange(V, dtype=jnp.int32), V - 1)
 
-    def cc_cond(state):
-        _, changed, it = state
-        return changed & (it < cc_iters)
-
     # The reference's azimuth clamp creates DIRECTED edges at the 0/360 wrap
     # (cell 0 lists 300 as neighbor, but not vice versa); its sequential merge
     # is nonetheless bidirectional. We symmetrize: gather-min over out-edges
     # plus scatter-min pushing each label onto its neighbors.
+    #
+    # Fixed-trip fori_loop (not while_loop): a data-dependent `changed`
+    # reduction per iteration forced XLA to place the loop state in scalar
+    # memory, serializing the gathers (~30x slower); with pointer jumping the
+    # label spread is superlinear, so cc_iters fixed rounds always converge.
     flat_tgt = jnp.where(nbr_idx >= 0, nbr_idx, V).reshape(-1)
 
-    def cc_body(state):
-        label, _, it = state
+    def cc_body(_, label):
         nl = jnp.where(nbr_idx >= 0, label[jnp.maximum(nbr_idx, 0)], V)
         gather_min = jnp.min(nl, axis=1)
         src = jnp.broadcast_to(label[:, None], nbr_idx.shape).reshape(-1)
@@ -198,12 +198,9 @@ def dcvc_segment(
         # pointer jumping (path compression) x2
         best = best[best]
         best = best[best]
-        changed = jnp.any(best != label)
-        return best, changed, it + 1
+        return best
 
-    label, _, _ = jax.lax.while_loop(
-        cc_cond, cc_body, (init_label, jnp.asarray(True), jnp.asarray(0, jnp.int32))
-    )
+    label = jax.lax.fori_loop(0, cc_iters, cc_body, init_label)
 
     # --- cluster stats ---
     pts_per_vox = jax.ops.segment_sum(

@@ -159,7 +159,7 @@ class _SurfCells(NamedTuple):
     the TPU-fast replacement for the reference's per-point SearchHybrid +
     fitBestPlane per iteration).
 
-    surf: (12, V) packed per-cell data, one gather serves all columns:
+    surf: (12, V) packed per-cell data (one gather serves all columns):
       rows 0-2 window centroid, 3-5 plane normal, 6 plane d,
       7-9 line direction, 10 ok_plane, 11 ok_line.
     """
@@ -198,8 +198,8 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
     nbr_safe = jnp.maximum(nbr, 0)
     has = (nbr >= 0).astype(dtype)
 
-    # one packed (10, V*27) gather serves all moment columns (gather cost on
-    # TPU scales with index count, not row width)
+    # one packed (10, V*27) gather serves all moment columns (measured
+    # faster in context than 10 separate 1-D gathers despite tile padding)
     momstack = jnp.stack(mom, axis=0)  # (10, V)
     V = nbr.shape[0]
     gathered = jnp.take(momstack, nbr_safe.reshape(-1), axis=1).reshape(10, V, 27)
@@ -787,8 +787,15 @@ def scan_matching(
         done=jnp.asarray(False),
     )
 
-    final = jax.lax.while_loop(
-        lambda st: (st.it < cfg.max_iterations) & ~st.done, outer_body, init
+    # Fixed-trip loop with done-masking instead of while_loop: the early-exit
+    # condition still freezes the state (same semantics as the reference's
+    # break, registration.cpp:1108-1111), but a data-dependent while forces
+    # XLA to serialize the loop on the scalar core (see models/dcvc.py note).
+    final = jax.lax.fori_loop(
+        0,
+        cfg.max_iterations,
+        lambda _, st: jax.lax.cond(st.done, lambda s: s, outer_body, st),
+        init,
     )
 
     pose = se3.exp(final.xi)
