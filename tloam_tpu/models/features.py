@@ -64,7 +64,12 @@ def calculate_pca_info(
     m = ok.astype(dtype)
     cnt = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
 
-    xs, ys, zs = voxel.gather_planes(cloud.xyz, idx)  # (N,K) each
+    xs, ys, zs = voxel.gather_planes(cloud.xyz, idx)
+    # center on the query point: raw-coordinate second moments cancel
+    # catastrophically in f32 at map scale (see voxel.anchored_window_moments)
+    xs = xs - cloud.xyz[:, 0:1]
+    ys = ys - cloud.xyz[:, 1:2]
+    zs = zs - cloud.xyz[:, 2:3]  # (N,K) each
     xs, ys, zs = xs * m, ys * m, zs * m
     mx = jnp.sum(xs, -1) / cnt
     my = jnp.sum(ys, -1) / cnt
@@ -113,44 +118,21 @@ def calculate_pca_info_cell(
     table = voxel.build_cell_table(cloud.xyz, cloud.valid, cfg.radius, max_cells)
     nbr = voxel.cell_neighbor_index(table)  # (V,27)
 
-    x, y, z = cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]
-    m = cloud.valid.astype(dtype)
-    seg = jnp.where(cloud.valid, table.point_cell, max_cells)
-    seg = jnp.where(seg < 0, max_cells, seg)
-
-    def cell_sum(v):
-        return jax.ops.segment_sum(v * m, seg, num_segments=max_cells + 1)[:max_cells]
-
-    mom = [
-        cell_sum(jnp.ones_like(x)),
-        cell_sum(x), cell_sum(y), cell_sum(z),
-        cell_sum(x * x), cell_sum(x * y), cell_sum(x * z),
-        cell_sum(y * y), cell_sum(y * z), cell_sum(z * z),
-    ]
-
-    # aggregate the 27-neighborhood per cell (scalar-plane gathers)
-    nbr_safe = jnp.maximum(nbr, 0)
-    has = (nbr >= 0).astype(dtype)
-
-    # one packed (10, V*27) gather serves all moment columns (measured
-    # faster in context than 10 separate 1-D gathers despite tile padding)
-    momstack = jnp.stack(mom, axis=0)  # (10, V)
-    V = nbr.shape[0]
-    gathered = jnp.take(momstack, nbr_safe.reshape(-1), axis=1).reshape(10, V, 27)
-    win = jnp.sum(gathered * has[None], axis=2)  # (10, V)
-
-    def window(i):
-        return win[i]
-
-    w_cnt = window(0)
+    # anchored moments: raw-coordinate E[x^2]-E[x]^2 cancels catastrophically
+    # in f32 at map scale — see voxel.anchored_window_moments
+    _, mw = voxel.anchored_window_moments(
+        cloud.xyz, cloud.valid, table, nbr, cfg.radius
+    )
+    w_cnt, sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz = mw
     cnt = jnp.maximum(w_cnt, 1.0)
-    mx, my, mz = window(1) / cnt, window(2) / cnt, window(3) / cnt
-    a00 = window(4) / cnt - mx * mx
-    a01 = window(5) / cnt - mx * my
-    a02 = window(6) / cnt - mx * mz
-    a11 = window(7) / cnt - my * my
-    a12 = window(8) / cnt - my * mz
-    a22 = window(9) / cnt - mz * mz
+    mx, my, mz = sx / cnt, sy / cnt, sz / cnt
+    a00 = mxx / cnt - mx * mx
+    a01 = mxy / cnt - mx * my
+    a02 = mxz / cnt - mx * mz
+    a11 = myy / cnt - my * my
+    a12 = myz / cnt - my * mz
+    a22 = mzz / cnt - mz * mz
+    nbr_safe = jnp.maximum(nbr, 0)
 
     lam0, lam1, lam2 = eig3.eigvalsh3_soa(a00, a01, a02, a11, a12, a22)
     nx_, ny_, nz_ = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam0)

@@ -111,6 +111,11 @@ def calculate_covariances(
     m = ok.astype(cloud.xyz.dtype)
     cnt = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
     xs, ys, zs = voxel.gather_planes(cloud.xyz, idx)
+    # center on the query point: raw-coordinate second moments cancel
+    # catastrophically in f32 at map scale (see voxel.anchored_window_moments)
+    xs = xs - cloud.xyz[:, 0:1]
+    ys = ys - cloud.xyz[:, 1:2]
+    zs = zs - cloud.xyz[:, 2:3]
     xs, ys, zs = xs * m, ys * m, zs * m
     mx, my, mz = (jnp.sum(a, -1) / cnt for a in (xs, ys, zs))
     a00 = jnp.sum(xs * xs, -1) / cnt - mx * mx
@@ -182,50 +187,31 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
     table = voxel.build_cell_table(cloud.xyz, cloud.valid, cell_size, max_cells)
     nbr = voxel.cell_neighbor_index(table)  # (V,27)
 
-    x, y, z = cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]
-    m = cloud.valid.astype(dtype)
-    seg = jnp.where(cloud.valid & (table.point_cell >= 0), table.point_cell, max_cells)
-
-    def cell_sum(v):
-        return jax.ops.segment_sum(v * m, seg, num_segments=max_cells + 1)[:max_cells]
-
-    mom = [
-        cell_sum(jnp.ones_like(x)),
-        cell_sum(x), cell_sum(y), cell_sum(z),
-        cell_sum(x * x), cell_sum(x * y), cell_sum(x * z),
-        cell_sum(y * y), cell_sum(y * z), cell_sum(z * z),
-    ]
-    nbr_safe = jnp.maximum(nbr, 0)
-    has = (nbr >= 0).astype(dtype)
-
-    # one packed (10, V*27) gather serves all moment columns (measured
-    # faster in context than 10 separate 1-D gathers despite tile padding)
-    momstack = jnp.stack(mom, axis=0)  # (10, V)
-    V = nbr.shape[0]
-    gathered = jnp.take(momstack, nbr_safe.reshape(-1), axis=1).reshape(10, V, 27)
-    win = jnp.sum(gathered * has[None], axis=2)  # (10, V)
-
-    def window(i):
-        return win[i]
-
-    w_cnt = window(0)
+    # anchored moments: raw-coordinate E[x^2]-E[x]^2 cancels catastrophically
+    # in f32 at map scale — see voxel.anchored_window_moments
+    (anx, any_, anz), mw = voxel.anchored_window_moments(
+        cloud.xyz, cloud.valid, table, nbr, cell_size
+    )
+    w_cnt, sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz = mw
     cnt = jnp.maximum(w_cnt, 1.0)
-    sx, sy, sz = window(1), window(2), window(3)
-    mxx, mxy, mxz = window(4), window(5), window(6)
-    myy, myz, mzz = window(7), window(8), window(9)
 
     moments10 = jnp.stack(
         [sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz, w_cnt], axis=-1
     )
-    plane = weighted_axis_plane(moments10)  # (V,4) reference-formula fit
+    plane = weighted_axis_plane(moments10)  # (V,4) fit in anchored coords
+    # re-express the plane in world coords: n.(p - a) + d_rel = 0
+    plane = plane.at[:, 3].add(
+        -(plane[:, 0] * anx + plane[:, 1] * any_ + plane[:, 2] * anz)
+    )
 
-    cenx, ceny, cenz = sx / cnt, sy / cnt, sz / cnt
-    a00 = mxx / cnt - cenx * cenx
-    a01 = mxy / cnt - cenx * ceny
-    a02 = mxz / cnt - cenx * cenz
-    a11 = myy / cnt - ceny * ceny
-    a12 = myz / cnt - ceny * cenz
-    a22 = mzz / cnt - cenz * cenz
+    cenx_r, ceny_r, cenz_r = sx / cnt, sy / cnt, sz / cnt
+    cenx, ceny, cenz = anx + cenx_r, any_ + ceny_r, anz + cenz_r
+    a00 = mxx / cnt - cenx_r * cenx_r
+    a01 = mxy / cnt - cenx_r * ceny_r
+    a02 = mxz / cnt - cenx_r * cenz_r
+    a11 = myy / cnt - ceny_r * ceny_r
+    a12 = myz / cnt - ceny_r * cenz_r
+    a22 = mzz / cnt - cenz_r * cenz_r
     lam0, lam1, lam2 = eig3.eigvalsh3_soa(a00, a01, a02, a11, a12, a22)
     dirx, diry, dirz = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam2)
 

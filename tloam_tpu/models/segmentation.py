@@ -232,16 +232,29 @@ def ground_remove(
     region_ok = seed_count > 3  # <=3 seeds: whole region dropped (:668)
 
     # --- iterative plane refinement ---
+    # Two-pass centering: accumulate moments of (p - region_anchor) — raw
+    # second moments cancel catastrophically in f32 for regions tens of
+    # meters from the origin (see ops/voxel.anchored_window_moments).
+    cand_m = candidate.astype(dtype)
+    reg_cnt = jnp.maximum(
+        jax.ops.segment_sum(cand_m, region, num_segments=num_regions), 1.0
+    )
+    anchor = (
+        jax.ops.segment_sum(xyz * cand_m[:, None], region, num_segments=num_regions)
+        / reg_cnt[:, None]
+    )  # (12,3) fixed per-region anchors
+    cxyz = xyz - anchor[region]  # centered coords (small)
+
     feats = jnp.concatenate(
         [
-            xyz,
-            xyz[:, 0:1] * xyz[:, 0:1],
-            xyz[:, 0:1] * xyz[:, 1:2],
-            xyz[:, 0:1] * xyz[:, 2:3],
-            xyz[:, 1:2] * xyz[:, 1:2],
-            xyz[:, 1:2] * xyz[:, 2:3],
-            xyz[:, 2:3] * xyz[:, 2:3],
-            jnp.ones_like(xyz[:, :1]),
+            cxyz,
+            cxyz[:, 0:1] * cxyz[:, 0:1],
+            cxyz[:, 0:1] * cxyz[:, 1:2],
+            cxyz[:, 0:1] * cxyz[:, 2:3],
+            cxyz[:, 1:2] * cxyz[:, 1:2],
+            cxyz[:, 1:2] * cxyz[:, 2:3],
+            cxyz[:, 2:3] * cxyz[:, 2:3],
+            jnp.ones_like(cxyz[:, :1]),
         ],
         axis=1,
     )  # (N,10)
@@ -249,9 +262,9 @@ def ground_remove(
     def fit(member):
         m = member.astype(dtype)[:, None]
         moments = jax.ops.segment_sum(feats * m, region, num_segments=num_regions)
-        return weighted_axis_plane(moments)  # (12,4)
+        return weighted_axis_plane(moments)  # (12,4) in centered coords
 
-    hom = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=1)
+    hom = jnp.concatenate([cxyz, jnp.ones_like(cxyz[:, :1])], axis=1)
 
     def iter_body(i, carry):
         member, planes = carry
@@ -272,6 +285,9 @@ def ground_remove(
 
     planes0 = jnp.zeros((num_regions, 4), dtype)
     member, planes = jax.lax.fori_loop(0, g.max_iter, iter_body, (seed, planes0))
+    # re-express region planes in world coords for diagnostics:
+    # n.(p - a) + d_rel = 0  ->  d_world = d_rel - n.a
+    planes = planes.at[:, 3].add(-jnp.sum(planes[:, :3] * anchor, axis=-1))
 
     ground_mask = member & region_ok[region]
     vertical_mask = candidate & ~member & region_ok[region]

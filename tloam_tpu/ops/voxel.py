@@ -439,3 +439,86 @@ def cell_neighbor_index(table: CellTable) -> jax.Array:
     found, row, _ = direct_lookup(table.dt, h1, h2)
     found &= table.cell_valid[:, None]
     return jnp.where(found, row, -1)
+
+
+def anchored_window_moments(
+    xyz: jax.Array,
+    valid: jax.Array,
+    table: CellTable,
+    nbr: jax.Array,
+    cell_size,
+):
+    """27-cell window second-order moments about each cell's OWN anchor.
+
+    Accumulating E[x^2]-E[x]^2 on raw world coordinates catastrophically
+    cancels in float32 beyond ~30 m from the origin (eps*|x|^2 rivals the
+    surface variance), which silently corrupts plane normals at LiDAR map
+    scale. Here every cell accumulates moments of (p - anchor_c) with
+    anchor_c = cell_coord * cell_size (coords bounded by the cell pitch),
+    and neighbor sums are re-anchored with the EXACT parallel-axis shift
+    Delta = offset * cell_size during window aggregation.
+
+    Returns (anchors (3,V), moments tuple (cnt, sx, sy, sz, sxx, sxy, sxz,
+    syy, syz, szz) about each cell's anchor).
+    """
+    dtype = xyz.dtype
+    Vn = table.cx.shape[0]
+    cs = jnp.asarray(cell_size, dtype)
+    pc = table.point_cell
+    in_cell = valid & (pc >= 0)
+    pcs = jnp.maximum(pc, 0)
+    ax = table.cx[pcs].astype(dtype) * cs
+    ay = table.cy[pcs].astype(dtype) * cs
+    az = table.cz[pcs].astype(dtype) * cs
+    qx = xyz[:, 0] - ax
+    qy = xyz[:, 1] - ay
+    qz = xyz[:, 2] - az
+
+    m = in_cell.astype(dtype)
+    seg = jnp.where(in_cell, pc, Vn)
+
+    def cell_sum(v):
+        return jax.ops.segment_sum(v * m, seg, num_segments=Vn + 1)[:Vn]
+
+    mom = jnp.stack(
+        [
+            cell_sum(jnp.ones_like(qx)),
+            cell_sum(qx), cell_sum(qy), cell_sum(qz),
+            cell_sum(qx * qx), cell_sum(qx * qy), cell_sum(qx * qz),
+            cell_sum(qy * qy), cell_sum(qy * qz), cell_sum(qz * qz),
+        ],
+        axis=0,
+    )  # (10, V), anchored per cell
+
+    nbr_safe = jnp.maximum(nbr, 0)
+    has = (nbr >= 0).astype(dtype)  # (V,27)
+    g = jnp.take(mom, nbr_safe.reshape(-1), axis=1).reshape(10, Vn, 27)
+
+    # parallel-axis shift: neighbor j's sums are about a_j = a_i + D,
+    # D = offset * cell_size; re-anchor to a_i: q_i = q_j + D.
+    Dx = _OFF1.astype(dtype) * cs  # (27,)
+    Dy = _OFF2.astype(dtype) * cs
+    Dz = _OFF3.astype(dtype) * cs
+    n_j = g[0]
+    sx_j, sy_j, sz_j = g[1], g[2], g[3]
+
+    def tot(a):
+        return jnp.sum(a * has, axis=1)
+
+    cnt = tot(n_j)
+    sx = tot(sx_j + n_j * Dx)
+    sy = tot(sy_j + n_j * Dy)
+    sz = tot(sz_j + n_j * Dz)
+    sxx = tot(g[4] + 2.0 * Dx * sx_j + n_j * Dx * Dx)
+    sxy = tot(g[5] + Dx * sy_j + Dy * sx_j + n_j * Dx * Dy)
+    sxz = tot(g[6] + Dx * sz_j + Dz * sx_j + n_j * Dx * Dz)
+    syy = tot(g[7] + 2.0 * Dy * sy_j + n_j * Dy * Dy)
+    syz = tot(g[8] + Dy * sz_j + Dz * sy_j + n_j * Dy * Dz)
+    szz = tot(g[9] + 2.0 * Dz * sz_j + n_j * Dz * Dz)
+
+    anchors = (
+        table.cx.astype(dtype) * cs,
+        table.cy.astype(dtype) * cs,
+        table.cz.astype(dtype) * cs,
+    )
+    return anchors, (cnt, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz)
