@@ -23,15 +23,16 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def main(config: str | None = None, overrides=()) -> None:
     import jax
     import jax.numpy as jnp
 
     from tloam_tpu.cloud import Cloud
+    from tloam_tpu.config import load_pipeline_config
     from tloam_tpu.pipeline import frontend
     from tloam_tpu.utils import synthetic
 
-    cfg = frontend.PipelineConfig()
+    cfg = load_pipeline_config(config, overrides)
     rings, az = 64, 1870
     cap = 131072
 
@@ -58,20 +59,26 @@ def main() -> None:
         raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
         state, pose, _ = frontend.odometry_step(state, raw, cfg)
     jax.block_until_ready(pose)
-    print(f"warmup (incl. compile): {time.time()-t_compile:.1f}s", file=sys.stderr)
+    warmup_s = time.time() - t_compile
+    print(f"warmup (incl. compile): {warmup_s:.1f}s", file=sys.stderr)
 
     t0 = time.time()
+    corr_seen = []
     for i in range(n_warm, n_warm + n_timed):
         xyz, inten = scans[i]
         raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
         state, pose, diag = frontend.odometry_step(state, raw, cfg)
+        corr_seen.append(diag.num_corr)
     jax.block_until_ready(pose)
     dt = time.time() - t0
     fps = n_timed / dt
 
+    corr = np.stack([np.asarray(c) for c in corr_seen])  # (n_timed, 4)
     print(
         f"timed {n_timed} frames in {dt:.3f}s ({fps:.2f} frames/s); "
-        f"last diag iters={int(diag.iterations)} corr={np.asarray(diag.num_corr)}",
+        f"last diag iters={int(diag.iterations)} corr={corr[-1]}; "
+        f"per-family corr min/mean over timed frames: "
+        f"{corr.min(0)} / {corr.mean(0).round(1)}",
         file=sys.stderr,
     )
     print(
@@ -81,10 +88,19 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 10.0, 3),
+                "warmup_s": round(warmup_s, 1),
+                "corr_mean": [round(v, 1) for v in corr.mean(0).tolist()],
+                "corr_min": corr.min(0).tolist(),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    _p = argparse.ArgumentParser()
+    _p.add_argument("--config")
+    _p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    _a = _p.parse_args()
+    main(_a.config, _a.set)

@@ -13,6 +13,7 @@
 //
 // Build: make -C native   (produces libkitti_loader.so)
 
+#include <cerrno>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -37,24 +38,35 @@ long read_bin_impl(const char* path, float* out, long cap) {
   long nrec = static_cast<long>(st.st_size / (4 * sizeof(float)));
   long want = nrec < cap ? nrec : cap;
   long n = 0;
-  // stream in 1 MiB chunks straight into the caller's buffer region,
-  // compacting non-finite records in place.
-  const long CHUNK = (1 << 20) / (4 * sizeof(float));
-  float* buf = new float[CHUNK * 4];
+  // stream in 1 MiB chunks, compacting non-finite records in place.
+  // read() may return short or be interrupted; carry the partial-record
+  // remainder between chunks so record framing never desyncs.
+  const size_t REC = 4 * sizeof(float);
+  const long CHUNK = (1 << 20) / REC;
+  char* buf = new char[CHUNK * REC];
+  size_t carry = 0;  // bytes of a partial record held at buf[0..carry)
   long read_recs = 0;
   while (read_recs < want) {
     long todo = want - read_recs < CHUNK ? want - read_recs : CHUNK;
-    ssize_t got = ::read(fd, buf, todo * 4 * sizeof(float));
-    if (got <= 0) break;
-    long recs = got / (4 * sizeof(float));
+    ssize_t got = ::read(fd, buf + carry, todo * REC - carry);
+    if (got < 0) {
+      if (errno == EINTR) continue;
+      break;
+    }
+    if (got == 0) break;
+    size_t avail = carry + static_cast<size_t>(got);
+    long recs = static_cast<long>(avail / REC);
     for (long i = 0; i < recs; ++i) {
-      const float* p = buf + i * 4;
+      float p[4];
+      std::memcpy(p, buf + i * REC, REC);
       if (std::isfinite(p[0]) && std::isfinite(p[1]) && std::isfinite(p[2]) &&
           std::isfinite(p[3])) {
-        std::memcpy(out + n * 4, p, 4 * sizeof(float));
+        std::memcpy(out + n * 4, p, REC);
         ++n;
       }
     }
+    carry = avail - recs * REC;
+    if (carry) std::memmove(buf, buf + recs * REC, carry);
     read_recs += recs;
   }
   delete[] buf;

@@ -94,7 +94,7 @@ def main():
 
     # build a plausible submap = same frame's features (self-registration)
     state = frontend.init_state(cfg, jnp.float32)
-    state, _, _ = frontend.odometry_step(state, raw, cfg)  # seed
+    state, _, _ = frontend.odometry_step_nodonate(state, raw, cfg)  # seed
     submap = frontend.submap_features(state.submap, cfg)
     timeit(
         "scan_matching",
@@ -108,13 +108,16 @@ def main():
         state.submap,
         feats,
     )
-    timeit(
-        "odometry_step (full)",
-        lambda st, c: frontend.odometry_step(st, c, cfg),
-        state,
-        raw,
-        n=3,
-    )
+
+    # full step: the donating hot-loop entry — rebind state, fresh raw per call
+    mkraw = lambda: Cloud.from_numpy(xyz, inten, capacity=131072, dtype=jnp.float32)
+    st, _, _ = frontend.odometry_step(state, mkraw(), cfg)  # compile
+    n = 5
+    t0 = time.time()
+    for _ in range(n):
+        st, pose, _ = frontend.odometry_step(st, mkraw(), cfg)
+    jax.block_until_ready(pose)
+    print(f"{'odometry_step (full, donated)':32s} {(time.time()-t0)/n*1e3:9.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

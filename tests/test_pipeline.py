@@ -15,8 +15,6 @@ SMALL_OD = OdometryConfig(
     scan_planar_cap=1024,
     scan_ground_cap=4096,
     submap_edge_cap=8192,
-    submap_sphere_cap=1024,
-    submap_planar_cap=4096,
     submap_ground_cap=8192,
     tls=TLSConfig(max_per_cell=8),
 )

@@ -21,11 +21,12 @@ def cmd_run(args) -> int:
     import jax.numpy as jnp
 
     from tloam_tpu.cloud import Cloud
+    from tloam_tpu.config import load_pipeline_config
     from tloam_tpu.pipeline import frontend
     from tloam_tpu.utils import checkpoint as ckpt
     from tloam_tpu.utils import synthetic, timing, trajectory
 
-    cfg = frontend.PipelineConfig()
+    cfg = load_pipeline_config(args.config, args.set or ())
     timer = timing.StageTimer()
 
     if args.data:
@@ -67,6 +68,7 @@ def cmd_run(args) -> int:
         start_frame = len(poses)
         print(f"resumed at frame {start_frame}", file=sys.stderr)
 
+    box_file = open(args.dump_boxes, "w") if args.dump_boxes else None
     for i, (xyz, inten) in scan_iter:
         if i < start_frame:
             continue
@@ -76,6 +78,15 @@ def cmd_run(args) -> int:
             state, pose, diag = frontend.odometry_step(state, raw, cfg)
             pose.block_until_ready()
         poses.append(np.asarray(pose))
+        if box_file is not None:
+            # per-cluster AABBs in the SENSOR frame (the reference publishes
+            # them per scan in the lidar frame, segmentation.cpp:1032-1078)
+            bv = np.asarray(diag.box_valid)
+            bmin = np.asarray(diag.box_min)[bv].round(3).tolist()
+            bmax = np.asarray(diag.box_max)[bv].round(3).tolist()
+            box_file.write(
+                json.dumps({"frame": i, "box_min": bmin, "box_max": bmax}) + "\n"
+            )
         if args.verbose:
             print(
                 f"frame {i}: t={np.asarray(pose)[:3,3].round(3)} "
@@ -85,6 +96,9 @@ def cmd_run(args) -> int:
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
             ckpt.save_state(args.checkpoint or "tloam_ckpt.npz", state, np.stack(poses))
 
+    if box_file is not None:
+        box_file.close()
+        print(f"wrote cluster boxes to {args.dump_boxes}", file=sys.stderr)
     est = np.stack(poses)
     out = args.output or "tloam_traj.txt"
     trajectory.save_kitti(out, est)
@@ -133,7 +147,7 @@ def cmd_bench(args) -> int:
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import bench
 
-    bench.main()
+    bench.main(config=args.config, overrides=args.set or ())
     return 0
 
 
@@ -152,6 +166,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tloam", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def add_cfg_flags(sp):
+        sp.add_argument("--config", help="YAML/JSON config file (nested keys mirror the dataclass tree)")
+        sp.add_argument(
+            "--set", action="append", metavar="KEY=VALUE",
+            help="dotted-path override, e.g. odometry.tls.corr_mode=knn (repeatable)",
+        )
+
     r = sub.add_parser("run", help="run odometry over a sequence")
     r.add_argument("--data", help="KITTI odometry root (omit for synthetic)")
     r.add_argument("--sequence", default="00")
@@ -160,7 +181,9 @@ def main(argv=None) -> int:
     r.add_argument("--checkpoint")
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--resume")
+    r.add_argument("--dump-boxes", help="write per-frame DCVC cluster AABBs (JSONL) to this path")
     r.add_argument("-v", "--verbose", action="store_true")
+    add_cfg_flags(r)
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="evaluate trajectory vs ground truth")
@@ -169,6 +192,7 @@ def main(argv=None) -> int:
     e.set_defaults(fn=cmd_eval)
 
     b = sub.add_parser("bench", help="run the benchmark")
+    add_cfg_flags(b)
     b.set_defaults(fn=cmd_bench)
 
     i = sub.add_parser("info", help="print backend/device info")

@@ -99,6 +99,15 @@ class TLSConfig:
     #   on iter 0, registration.cpp:934,1027-1033, so mu always starts 1e-10).
     mu_init: str = "residual"
     lm_lambda: float = 1e-6  # Levenberg damping for the 6x6 solve
+    # degeneracy handling (stands in for Ceres' SUBSPACE_DOGLEG trust
+    # region, registration.cpp:1040): eigen-directions of H weaker than
+    # degen_rel_thres * lam_max get NO update (solution remapping — the
+    # motion-model prediction is kept along them); each inner GN step is
+    # clamped to max_step_trans metres / max_step_rot radians.
+    degen_rel_thres: float = 1e-3
+    degen_abs_thres: float = 100.0  # raw curvature (summed residual weight)
+    max_step_trans: float = 1.0
+    max_step_rot: float = 0.3
     max_per_cell: int = 8  # hash-grid candidate cap per neighbor cell
     # plane-family residual: "point_to_plane" (the reference's wired default,
     # addSurfCostFactor) or "gicp" (its PlaneToPlaneErr/addSurfCostFactor2
@@ -124,6 +133,10 @@ class OdometryConfig:
     ground_down_sample_submap: float = 0.45
     edge_down_sample: float = 0.1
     edge_down_sample_submap: float = 0.3
+    # window lengths for the sphere/planar frame deques (front_end.cpp:
+    # 212-218). sphere_frame_size only matters with
+    # sphere_submap_from_planar=False (the reference quirk assembles BOTH
+    # submaps from the planar deque, front_end.cpp:221-229).
     sphere_frame_size: int = 3
     planar_frame_size: int = 3
     edge_crop_box_length: float = 100.0
@@ -139,9 +152,9 @@ class OdometryConfig:
     scan_planar_cap: int = 1024
     scan_ground_cap: int = 8192
     submap_edge_cap: int = 16384
-    submap_sphere_cap: int = 2048
-    submap_planar_cap: int = 4096
     submap_ground_cap: int = 16384
+    # (planar/sphere submap capacity = frame window x per-frame cap — see
+    # PipelineConfig.frame_planar_cap/frame_sphere_cap)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,5 +163,81 @@ class DataConfig:
 
     data_path: str = ""
     sequence: str = "00"
-    image_kind_size: int = 0  # images unused by the solver path
+    # how many KITTI image channels to read per frame (0 = none, up to 4:
+    # image_0/1 grayscale + image_2/3 color — kitti_reader.cpp:63-88)
+    image_kind_size: int = 0
     raw_cloud_cap: int = 131072  # KITTI HDL-64E scans are ~120k points
+
+
+# ---------------------------------------------------------------------------
+# Config loading + dotted-path overrides (reference: 4 YAML files loaded at
+# init via WORK_SPACE_PATH, front_end.cpp:44-62; here: explicit file + CLI)
+# ---------------------------------------------------------------------------
+
+
+def _coerce(old, raw: str):
+    """Parse a CLI string into the type of the value it replaces."""
+    if isinstance(old, bool):
+        low = raw.strip().lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"expected a boolean, got {raw!r}")
+    if isinstance(old, int):
+        return int(raw)
+    if isinstance(old, float):
+        return float(raw)
+    return raw
+
+
+def replace_path(cfg, dotted: str, value):
+    """Return a copy of a (nested, frozen) dataclass with the field at
+    `dotted` (e.g. "odometry.tls.corr_mode") replaced. String values are
+    coerced to the existing field's type."""
+    head, _, rest = dotted.partition(".")
+    if not hasattr(cfg, head):
+        avail = [f.name for f in dataclasses.fields(cfg)]
+        raise KeyError(f"no config field {head!r}; available: {avail}")
+    old = getattr(cfg, head)
+    if rest:
+        new = replace_path(old, rest, value)
+    elif dataclasses.is_dataclass(old):
+        raise KeyError(f"{dotted!r} is a config section, not a field")
+    else:
+        new = _coerce(old, value) if isinstance(value, str) else value
+    return dataclasses.replace(cfg, **{head: new})
+
+
+def apply_dict(cfg, tree: dict):
+    """Apply a nested dict (parsed YAML/JSON) onto a dataclass config."""
+    for key, val in tree.items():
+        old = getattr(cfg, key)  # KeyError semantics via replace_path below
+        if isinstance(val, dict):
+            cfg = dataclasses.replace(cfg, **{key: apply_dict(old, val)})
+        else:
+            cfg = replace_path(cfg, key, val)
+    return cfg
+
+
+def load_pipeline_config(path: str | None = None, overrides=()):
+    """Build a PipelineConfig from defaults + optional YAML/JSON file +
+    dotted-path overrides ("odometry.tls.corr_mode=knn"). The file holds a
+    nested mapping mirroring the dataclass tree."""
+    from tloam_tpu.pipeline.frontend import PipelineConfig
+
+    cfg = PipelineConfig()
+    if path:
+        import yaml
+
+        with open(path) as f:
+            tree = yaml.safe_load(f) or {}
+        if not isinstance(tree, dict):
+            raise ValueError(f"config file {path} must hold a mapping")
+        cfg = apply_dict(cfg, tree)
+    for ov in overrides:
+        key, sep, val = ov.partition("=")
+        if not sep:
+            raise ValueError(f"override {ov!r} must look like key=value")
+        cfg = replace_path(cfg, key.strip(), val.strip())
+    return cfg

@@ -30,12 +30,23 @@ _native = None
 
 
 def _load_native():
-    """Load the optional native loader (built from native/kitti_loader.cpp)."""
+    """Load the optional native loader, building it from
+    native/kitti_loader.cpp on first use (the .so is not committed); any
+    build/load failure falls back to the NumPy reader."""
     global _native
     if _native is not None:
         return _native
-    so = Path(__file__).resolve().parents[2] / "native" / "libkitti_loader.so"
-    if so.exists():
+    native_dir = Path(__file__).resolve().parents[2] / "native"
+    so = native_dir / "libkitti_loader.so"
+    if not so.exists() and (native_dir / "Makefile").exists():
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", str(native_dir)],
+            capture_output=True,
+            check=False,
+        )
+    try:
         lib = ctypes.CDLL(str(so))
         lib.kitti_read_bin.restype = ctypes.c_long
         lib.kitti_read_bin.argtypes = [
@@ -44,7 +55,7 @@ def _load_native():
             ctypes.c_long,
         ]
         _native = lib
-    else:
+    except OSError:
         _native = False
     return _native
 
@@ -71,6 +82,16 @@ def read_velodyne(path: str | Path, max_points: int | None = None):
     if max_points is not None:
         raw = raw[:max_points]
     return np.ascontiguousarray(raw[:, :3]), np.ascontiguousarray(raw[:, 3])
+
+
+def read_image(path: str | Path, gray: bool) -> np.ndarray:
+    """Read one KITTI camera frame (PNG). Returns (H,W) uint8 for grayscale
+    or (H,W,3) uint8 for color — the counterpart of readImageGray/
+    readImageColor (kitti_reader.cpp:63-88, cv::imread wrappers)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("L" if gray else "RGB"))
 
 
 def parse_calib(path: str | Path) -> np.ndarray:
@@ -130,6 +151,17 @@ class KittiSequence:
 
     def scan(self, i: int, max_points: int | None = None):
         return read_velodyne(self.scan_files[i], max_points)
+
+    def images(self, i: int, kinds: int = 2) -> list:
+        """Camera frames for scan i: image_0/1 are grayscale, image_2/3 color
+        (kitti_reader.cpp:63-88 reads `kinds` of them per tick). Missing
+        directories yield None entries."""
+        out = []
+        seq_dir = self.root / "sequences" / self.sequence
+        for k in range(min(kinds, 4)):
+            p = seq_dir / f"image_{k}" / f"{self.scan_files[i].stem}.png"
+            out.append(read_image(p, gray=k < 2) if p.exists() else None)
+        return out
 
     def gt_velo(self) -> np.ndarray | None:
         if self.gt_cam is None or self.calib is None:

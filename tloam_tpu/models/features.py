@@ -194,6 +194,57 @@ def top_k_mask(score: jax.Array, cls: jax.Array, k: int, bins: int = 2048) -> ja
     return jnp.where(total <= k, cls, keep)
 
 
+def top_k_mask_segmented(
+    score: jax.Array,
+    cls: jax.Array,
+    seg: jax.Array,
+    n_seg: int,
+    k: int,
+    bins: int = 512,
+) -> jax.Array:
+    """Per-segment variant of `top_k_mask`: (about) the k highest-score
+    points of `cls` WITHIN each segment (e.g. azimuth sector). One
+    (n_seg x bins) histogram + per-row threshold; same tie semantics.
+
+    Why: the reference keeps EVERY point above the scan threshold
+    (feature_extract.cpp:171-189 — rank<num OR score>thres, unbounded), so
+    its picks cover the whole scene. A fixed-capacity global top-k instead
+    concentrates on the flattest (nearest) structure — e.g. a freshly
+    revealed wall with no submap overlap, starving the solver. Sector
+    stratification restores the reference's spatial breadth under a static
+    capacity."""
+    dtype = score.dtype
+    smax = jnp.max(jnp.where(cls, score, -jnp.inf))
+    smin = jnp.min(jnp.where(cls, score, jnp.inf))
+    lo = jnp.where(jnp.isfinite(smin), smin, 0.0)
+    hi = jnp.where(jnp.isfinite(smax), smax, 1.0)
+    width = jnp.maximum(hi - lo, 1e-12)
+
+    b = jnp.clip(((score - lo) / width * bins).astype(jnp.int32), 0, bins - 1)
+    seg_c = jnp.clip(seg, 0, n_seg - 1)
+    key = jnp.where(cls, seg_c * bins + b, n_seg * bins)
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(key, dtype=jnp.int32), key, num_segments=n_seg * bins + 1
+    )[: n_seg * bins].reshape(n_seg, bins)
+    from_top = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # (n_seg, bins)
+    meets = from_top >= k
+    bstar = jnp.max(
+        jnp.where(meets, jnp.arange(bins)[None, :], -1), axis=1
+    )  # (n_seg,)
+    thresh = lo + bstar.astype(dtype) * width / bins
+    keep = cls & (score >= thresh[seg_c]) & (bstar[seg_c] >= 0)
+    # if a segment holds <= k classified points, keep them all
+    seg_tot = jnp.sum(hist, axis=1)
+    return jnp.where(seg_tot[seg_c] <= k, cls, keep)
+
+
+def azimuth_sectors(xyz: jax.Array, n_sectors: int) -> jax.Array:
+    """Sensor-frame azimuth sector id per point, (N,) int32 in [0, n)."""
+    az = jnp.arctan2(xyz[:, 1], xyz[:, 0])  # [-pi, pi]
+    s = ((az + jnp.pi) / (2 * jnp.pi) * n_sectors).astype(jnp.int32)
+    return jnp.clip(s, 0, n_sectors - 1)
+
+
 class FeatureSelection(NamedTuple):
     planar_scan: jax.Array  # (N,) mask
     planar_submap: jax.Array  # (N,) mask
@@ -256,7 +307,11 @@ def extract_planar_sphere(
 
 
 def gather_top(
-    cloud: Cloud, mask: jax.Array, score: jax.Array, capacity: int
+    cloud: Cloud,
+    mask: jax.Array,
+    score: jax.Array,
+    capacity: int,
+    sectors: int = 0,
 ) -> Cloud:
     """Compact the masked points into a fixed-capacity Cloud, preferring the
     highest-score points when over capacity.
@@ -264,8 +319,18 @@ def gather_top(
     Sort-free: a threshold bisection narrows the selection to <= capacity
     (plus threshold ties, resolved first-come), then a cumsum scatter
     compacts — O(N) instead of a big-k lax.top_k (which is a near-full sort
-    on TPU)."""
-    sel = top_k_mask(score, mask, capacity)
+    on TPU).
+
+    With `sectors` > 0 the top-(capacity/sectors) picks are made PER azimuth
+    sector so the selection keeps the reference's whole-scene spatial breadth
+    (see top_k_mask_segmented) instead of clustering on the flattest wall."""
+    if sectors > 0:
+        seg = azimuth_sectors(cloud.xyz, sectors)
+        sel = top_k_mask_segmented(
+            score, mask, seg, sectors, max(capacity // sectors, 1)
+        )
+    else:
+        sel = top_k_mask(score, mask, capacity)
     rank = jnp.cumsum(sel) - 1
     ok = sel & (rank < capacity)
     slot = jnp.where(ok, rank, capacity)

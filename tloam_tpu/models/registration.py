@@ -31,7 +31,9 @@ Reference quirks reproduced on purpose (SURVEY.md §hard-parts e):
     zero-initialized, so it always starts at mu=1e-10; "residual" mode
     instead evaluates real residuals at the predicted pose (paper-correct).
   * correspondence caps per family keep the FIRST maxnum valid matches in
-    scan order (registration.cpp:448,538,592,679,735).
+    scan order (registration.cpp:448,538,592,679,735); the sphere counter
+    additionally ticks for no-neighbor points (registration.cpp:551), so its
+    cap can bind earlier — reproduced via _cap_first_n(also_count=...).
   * cost==0 correspondences keep their previous weight (:862).
 """
 from __future__ import annotations
@@ -66,6 +68,13 @@ class Diagnostics(NamedTuple):
     degenerate: jax.Array  # () bool — too few correspondences; pose fell
     # back to the motion-model prediction (reference aborts instead,
     # registration.cpp:928-929)
+    # Per-frame DCVC cluster AABBs, attached by the pipeline step (the
+    # reference publishes them, segmentation.cpp:1032-1078); None when the
+    # solver is called standalone.
+    box_min: jax.Array | None = None
+    box_max: jax.Array | None = None
+    box_valid: jax.Array | None = None
+    num_clusters: jax.Array | None = None
 
 
 class _Corr(NamedTuple):
@@ -143,10 +152,34 @@ def calculate_covariances(
     return jnp.where(degenerate[:, None, None], eye, out)
 
 
-def _cap_first_n(valid: jax.Array, maxnum: int) -> jax.Array:
-    """Keep only the first `maxnum` valid entries in order (reference caps,
-    registration.cpp:448 etc.)."""
-    return valid & (jnp.cumsum(valid.astype(jnp.int32)) <= maxnum)
+def _cap_first_n(
+    valid: jax.Array,
+    maxnum: int,
+    also_count: jax.Array | None = None,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Keep only the first `maxnum` counted entries in scan order (reference
+    caps, registration.cpp:448 etc.). `also_count` marks entries that consume
+    cap budget without producing a match — the sphere family's counter
+    increments for no-neighbor points too (registration.cpp:551: sphere_sum++
+    sits outside the match branch, skipped only by the dist>0.2 continue).
+
+    Under shard_map (`axis_name` set, point buffers sharded contiguously),
+    the cap binds on the GLOBAL scan-order index: each shard offsets its
+    local prefix count by the totals of all preceding shards, so an N-way
+    sharded solve admits exactly the same correspondences as single-device
+    even when the cap binds."""
+    counted = valid if also_count is None else (valid | also_count)
+    ci = counted.astype(jnp.int32)
+    before = jnp.cumsum(ci) - ci
+    if axis_name is not None:
+        totals = jax.lax.all_gather(jnp.sum(ci), axis_name)  # (n_shards,)
+        idx = jax.lax.axis_index(axis_name)
+        prev = jnp.sum(
+            jnp.where(jnp.arange(totals.shape[0]) < idx, totals, 0)
+        )
+        before = before + prev
+    return valid & (before < maxnum)
 
 
 # ---------------------------------------------------------------------------
@@ -273,12 +306,13 @@ def _plane_correspondences_cell(
     scan_valid: jax.Array,
     dist_thres: float,
     maxnum: int,
+    axis_name: str | None = None,
 ):
     data, ok, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
     nrm = jnp.stack([data[3], data[4], data[5]], axis=-1)
     d = data[6]
     valid = scan_valid & ok & (data[10] > 0.5) & (cen_dist <= dist_thres)
-    return nrm, d, _cap_first_n(valid, maxnum)
+    return nrm, d, _cap_first_n(valid, maxnum, axis_name=axis_name)
 
 
 def _edge_correspondences_cell(
@@ -286,6 +320,7 @@ def _edge_correspondences_cell(
     scan_w: jax.Array,
     scan_valid: jax.Array,
     cfg: TLSConfig,
+    axis_name: str | None = None,
 ):
     data, ok, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
     cen = jnp.stack([data[0], data[1], data[2]], axis=-1)
@@ -299,7 +334,7 @@ def _edge_correspondences_cell(
     )
     a = cen + 0.1 * direction
     b = cen - 0.1 * direction
-    return a, b, _cap_first_n(valid, cfg.edge_maxnum)
+    return a, b, _cap_first_n(valid, cfg.edge_maxnum, axis_name=axis_name)
 
 
 def _plane_correspondences(
@@ -310,6 +345,7 @@ def _plane_correspondences(
     dist_thres: float,
     maxnum: int,
     max_per_cell: int,
+    axis_name: str | None = None,
 ):
     """Shared planar/ground path: 5-NN -> plane fit -> validity gates
     (reference addSurfCostFactor/addGroundCostFactor, registration.cpp:571-778)."""
@@ -325,7 +361,7 @@ def _plane_correspondences(
     plane_dis = jnp.einsum("nkj,nj->nk", pts, nrm) + d[:, None]
     precise = jnp.all(jnp.where(ok, plane_dis <= 0.2, True), axis=-1)
     valid = scan_valid & (n_neigh >= 5) & precise
-    return nrm, d, _cap_first_n(valid, maxnum)
+    return nrm, d, _cap_first_n(valid, maxnum, axis_name=axis_name)
 
 
 def _edge_correspondences(
@@ -334,6 +370,7 @@ def _edge_correspondences(
     scan_w: jax.Array,
     scan_valid: jax.Array,
     cfg: TLSConfig,
+    axis_name: str | None = None,
 ):
     """Edge path: 5-NN -> line fit -> direction gates -> (a, b) endpoints
     (reference addEdgeCostFactor, registration.cpp:427-505)."""
@@ -358,7 +395,7 @@ def _edge_correspondences(
     )
     a = center + 0.1 * direction
     b = center - 0.1 * direction
-    return a, b, _cap_first_n(valid, cfg.edge_maxnum)
+    return a, b, _cap_first_n(valid, cfg.edge_maxnum, axis_name=axis_name)
 
 
 def _sphere_correspondences(
@@ -367,6 +404,7 @@ def _sphere_correspondences(
     scan_w: jax.Array,
     scan_valid: jax.Array,
     cfg: TLSConfig,
+    axis_name: str | None = None,
 ):
     """Sphere path: 1-NN with squared-distance gate 0.2 (reference
     addSphereCostFactor, registration.cpp:517-559; Open3D KD distances are
@@ -381,7 +419,11 @@ def _sphere_correspondences(
     )
     tgt = submap.xyz[idx[:, 0]]
     valid = scan_valid & ok[:, 0] & (dist_sq[:, 0] <= 0.2)
-    return tgt, _cap_first_n(valid, cfg.sphere_maxnum)
+    # no-neighbor points consume cap budget too (registration.cpp:551)
+    no_hit = scan_valid & ~ok[:, 0]
+    return tgt, _cap_first_n(
+        valid, cfg.sphere_maxnum, also_count=no_hit, axis_name=axis_name
+    )
 
 
 def _gicp_correspondences(
@@ -393,6 +435,7 @@ def _gicp_correspondences(
     dist_thres: float,
     maxnum: int,
     max_per_cell: int,
+    axis_name: str | None = None,
 ):
     """1-NN GICP correspondence (reference addSurfCostFactor2/
     addGroundCostFactor2, registration.cpp:649-702,792-845: plain nearest
@@ -403,7 +446,7 @@ def _gicp_correspondences(
     tgt = submap.xyz[idx[:, 0]]
     tgt_cov = submap_covs[idx[:, 0]]
     valid = scan_valid & ok[:, 0]
-    return tgt, tgt_cov, _cap_first_n(valid, maxnum)
+    return tgt, tgt_cov, _cap_first_n(valid, maxnum, axis_name=axis_name)
 
 
 def _build_correspondences(
@@ -413,6 +456,7 @@ def _build_correspondences(
     grids: dict,
     cfg: TLSConfig,
     gicp_covs: dict | None = None,
+    axis_name: str | None = None,
 ) -> _Corr:
     T = se3.exp(xi)
     planar_w = se3.transform(T, scan.planar.xyz)
@@ -424,27 +468,29 @@ def _build_correspondences(
         if cfg.corr_mode == "cell_plane":
             pn, pd, pv = _plane_correspondences_cell(
                 grids["planar"], planar_w, scan.planar.valid,
-                cfg.planar_dist_thres, cfg.planar_maxnum,
+                cfg.planar_dist_thres, cfg.planar_maxnum, axis_name,
             )
             gn, gd, gv = _plane_correspondences_cell(
                 grids["ground"], ground_w, scan.ground.valid,
-                cfg.ground_dist_thres, cfg.ground_maxnum,
+                cfg.ground_dist_thres, cfg.ground_maxnum, axis_name,
             )
         else:
             pn, pd, pv = _plane_correspondences(
                 grids["planar"], submap.planar, planar_w, scan.planar.valid,
                 cfg.planar_dist_thres, cfg.planar_maxnum, cfg.max_per_cell,
+                axis_name,
             )
             gn, gd, gv = _plane_correspondences(
                 grids["ground"], submap.ground, ground_w, scan.ground.valid,
                 cfg.ground_dist_thres, cfg.ground_maxnum, cfg.max_per_cell,
+                axis_name,
             )
         covs = {}
     else:
         pn, p_cov, pv = _gicp_correspondences(
             grids["planar"], submap.planar, gicp_covs["submap_planar"],
             planar_w, scan.planar.valid, cfg.planar_dist_thres,
-            cfg.planar_maxnum, cfg.max_per_cell,
+            cfg.planar_maxnum, cfg.max_per_cell, axis_name,
         )
         pd = jnp.zeros(pn.shape[0], pn.dtype)
         # NOTE: addGroundCostFactor2 searches with planar_dist_thres
@@ -452,7 +498,7 @@ def _build_correspondences(
         gn, g_cov, gv = _gicp_correspondences(
             grids["ground"], submap.ground, gicp_covs["submap_ground"],
             ground_w, scan.ground.valid, cfg.planar_dist_thres,
-            cfg.ground_maxnum, cfg.max_per_cell,
+            cfg.ground_maxnum, cfg.max_per_cell, axis_name,
         )
         gd = jnp.zeros(gn.shape[0], gn.dtype)
         covs = {
@@ -463,14 +509,14 @@ def _build_correspondences(
         }
     if cfg.corr_mode == "cell_plane" and gicp_covs is None:
         ea, eb, ev = _edge_correspondences_cell(
-            grids["edge"], edge_w, scan.edge.valid, cfg
+            grids["edge"], edge_w, scan.edge.valid, cfg, axis_name
         )
     else:
         ea, eb, ev = _edge_correspondences(
-            grids["edge"], submap.edge, edge_w, scan.edge.valid, cfg
+            grids["edge"], submap.edge, edge_w, scan.edge.valid, cfg, axis_name
         )
     st, sv = _sphere_correspondences(
-        grids["sphere"], submap.sphere, sphere_w, scan.sphere.valid, cfg
+        grids["sphere"], submap.sphere, sphere_w, scan.sphere.valid, cfg, axis_name
     )
     if cfg.factor_num < 4:
         sv = jnp.zeros_like(sv)
@@ -565,8 +611,54 @@ def _gn_inner(
         H, g, _ = _evaluate(xi, scan, corr, w)
         H = _psum(H, axis_name)
         g = _psum(g, axis_name)
-        damp = cfg.lm_lambda * jnp.maximum(jnp.trace(H) / 6.0, 1.0)
-        delta = -jnp.linalg.solve(H + damp * jnp.eye(6, dtype=xi.dtype), g)
+        # after block normalization trace(Hn) ~ 6, so the Levenberg damping
+        # is simply lm_lambda on the unit scale
+        damp = jnp.asarray(cfg.lm_lambda, xi.dtype)
+        # Degeneracy-aware solve (solution remapping, Zhang ICRA'16): in a
+        # corridor scene nothing constrains the along-track direction, H is
+        # near-singular there, and a plain damped solve takes a wild step.
+        # The reference survives this through Ceres' SUBSPACE_DOGLEG trust
+        # region (registration.cpp:1040); here we eigen-decompose the 6x6,
+        # zero the update along directions with eigenvalue < degen_rel_thres
+        # * lam_max (the motion-model prediction is kept along them), and
+        # clamp the step to a trust region.
+        #
+        # The eigen test runs on a BLOCK-NORMALIZED matrix: translation rows
+        # of J are O(1) normals while rotation rows are O(r) lever arms, so
+        # raw-H eigenvalue ratios conflate units with conditioning. Scaling
+        # each 3-block by its mean diagonal makes "degenerate" scale-free
+        # (a healthy direction sits at ~1, a starved one at ~0) while intra-
+        # block anisotropy (the actual corridor degeneracy) stays visible.
+        dtype = xi.dtype
+        dH = jnp.diagonal(H)
+        s_t = 1.0 / jnp.sqrt(jnp.maximum(jnp.mean(dH[:3]), 1e-12))
+        s_r = 1.0 / jnp.sqrt(jnp.maximum(jnp.mean(dH[3:]), 1e-12))
+        S = jnp.concatenate([jnp.full((3,), s_t, dtype), jnp.full((3,), s_r, dtype)])
+        Hn = H * S[:, None] * S[None, :]
+        lam, V = jnp.linalg.eigh(Hn)
+        lam_max = jnp.maximum(lam[-1], 1e-12)
+        # raw curvature along each eigen-direction: lam_hat / |S v|^2 — the
+        # effective summed residual weight constraining it. A direction is
+        # only treated as degenerate when it is BOTH relatively tiny and
+        # absolutely unconstrained (weakly-but-genuinely observed directions,
+        # e.g. GICP's ~1e-3 tangential weights, must still be solved).
+        u_sq = jnp.sum((S[:, None] * V) ** 2, axis=0)
+        lam_raw = lam / jnp.maximum(u_sq, 1e-30)
+        degen = (lam < cfg.degen_rel_thres * lam_max) & (
+            lam_raw < cfg.degen_abs_thres
+        )
+        inv = jnp.where(degen, 0.0, 1.0 / (lam + damp))
+        delta = -S * ((V * inv[None, :]) @ (V.T @ (S * g)))
+        tn = jnp.linalg.norm(delta[:3])
+        rn = jnp.linalg.norm(delta[3:])
+        scale = jnp.minimum(
+            1.0,
+            jnp.minimum(
+                cfg.max_step_trans / jnp.maximum(tn, 1e-12),
+                cfg.max_step_rot / jnp.maximum(rn, 1e-12),
+            ),
+        )
+        delta = delta * scale
         # guard against rank-deficient blowups on degenerate frames
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         return se3.boxplus_left(xi, delta), None
@@ -696,7 +788,9 @@ def scan_matching(
     )
 
     def outer_body(st: _OuterState) -> _OuterState:
-        corr = _build_correspondences(st.xi, scan, submap, grids, cfg, gicp_covs)
+        corr = _build_correspondences(
+            st.xi, scan, submap, grids, cfg, gicp_covs, axis_name
+        )
 
         # mu initialisation on the first iteration (registration.cpp:1027-1033)
         if cfg.mu_init == "reference_zero":

@@ -199,10 +199,14 @@ def inv(T: jax.Array) -> jax.Array:
 
 
 def transform(T: jax.Array, pts: jax.Array) -> jax.Array:
-    """Apply (...,4,4) to points (...,N,3) (or (...,3))."""
+    """Apply (...,4,4) to points.
+
+    Convention: a 1-D (3,) input is ONE point; any ndim>=2 input is a point
+    batch (...,N,3) with N broadcast against T's batch dims. To transform one
+    point per pose, pass (B,1,3) and squeeze."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    if pts.ndim >= 2 and pts.shape[-2:] != (3,):
+    if pts.ndim >= 2:
         return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
     return jnp.einsum("...ij,...j->...i", R, pts) + t
 

@@ -15,7 +15,10 @@ solved in parallel:
     over the "points" axis inside shard_map; the 6x6 J^T J / J^T r blocks,
     GNC max-residual, and family cost sums are psum/pmax-reduced across the
     mesh each iteration (the collective Schur reduction of BASELINE's north
-    star). Correspondence caps apply per shard in this mode.
+    star). Correspondence caps bind on the GLOBAL scan-order index (each
+    shard offsets its prefix count by preceding shards' totals), so the
+    N-way solve admits exactly the single-device correspondence set even
+    when caps bind.
 """
 from __future__ import annotations
 

@@ -20,6 +20,46 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def bootstrap_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> None:
+    """Multi-host bootstrap: `jax.distributed.initialize` wrapper.
+
+    The TPU-native counterpart of the reference's ROS master + nodelet
+    manager process bootstrap (launch/tloam_kitti.launch:8-18): after this,
+    `jax.devices()` spans every host's chips and sharded programs reduce
+    over DCN/ICI transparently. On Cloud TPU all arguments come from the
+    metadata server (call with no args); elsewhere pass coordinator
+    "host:port" + process counts, or set JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID. Idempotent: repeated calls no-op.
+    """
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+
+
+def process_frame_range(n_frames: int) -> tuple[int, int]:
+    """Per-host input sharding: the contiguous [start, stop) slice of the
+    frame stream this process should read (the counterpart of the
+    reference's single reader nodelet feeding one process)."""
+    p = jax.process_count()
+    i = jax.process_index()
+    per = (n_frames + p - 1) // p
+    return i * per, min((i + 1) * per, n_frames)
+
+
 def make_mesh(
     n_devices: int | None = None,
     frames: int | None = None,

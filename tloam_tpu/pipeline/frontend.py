@@ -60,6 +60,12 @@ class PipelineConfig:
     sphere_index_bug: bool = False
     max_voxels: int = 32768  # DCVC voxel table
     max_clusters: int = 128
+    # azimuth sectors for capacity-bounded feature picks (0 = global top-k).
+    # The reference keeps every point above the scan threshold (unbounded,
+    # feature_extract.cpp:171-189); per-sector top-k keeps that spatial
+    # breadth under static capacities — a global top-k clusters on the
+    # flattest (nearest) wall and can lose all submap overlap.
+    pick_sectors: int = 16
     # per-frame submap-class feature capacities (planar/sphere window frames)
     frame_planar_cap: int = 4096
     frame_sphere_cap: int = 1024
@@ -75,12 +81,18 @@ class ScanFeatures(NamedTuple):
     ground_ds: Cloud  # ground at 0.3 voxels (submap accumulation input)
     edge_ds: Cloud  # edge at 0.1 voxels
     num_clusters: jax.Array
+    # per-cluster AABBs in the sensor frame (the reference publishes these as
+    # jsk BoundingBoxes, segmentation.cpp:1032-1078): (K,3), (K,3), (K,)
+    box_min: jax.Array
+    box_max: jax.Array
+    box_valid: jax.Array
 
 
 class SubmapState(NamedTuple):
-    planar_frames: Cloud  # (W, cap) ring buffer, sensor frame
-    sphere_frames: Cloud  # (W, cap)
-    frame_poses: jax.Array  # (W,4,4)
+    planar_frames: Cloud  # (Wp, cap) ring buffer, sensor frame
+    sphere_frames: Cloud  # (Ws, cap)
+    frame_poses: jax.Array  # (Wp,4,4) planar-window poses
+    sphere_poses: jax.Array  # (Ws,4,4)
     frames_filled: jax.Array  # () int32
     edge_map: Cloud  # world frame, fixed capacity
     ground_map: Cloud  # world frame
@@ -134,21 +146,22 @@ def preprocess_frame(raw: Cloud, cfg: PipelineConfig) -> ScanFeatures:
         od.edge_down_sample, od.scan_edge_cap,
     )
     flat = sel.pca.flatness
+    S = cfg.pick_sectors
     scan = FeatureSet(
         edge=Cloud(e_xyz, e_int, e_val),
         sphere=features.gather_top(
-            general_cloud, sel.sphere_scan, flat, od.scan_sphere_cap
+            general_cloud, sel.sphere_scan, flat, od.scan_sphere_cap, sectors=S
         ),
         planar=features.gather_top(
-            general_cloud, sel.planar_scan, flat, od.scan_planar_cap
+            general_cloud, sel.planar_scan, flat, od.scan_planar_cap, sectors=S
         ),
         ground=Cloud(g_xyz, g_int, g_val),
     )
     planar_frame = features.gather_top(
-        general_cloud, sel.planar_submap, flat, cfg.frame_planar_cap
+        general_cloud, sel.planar_submap, flat, cfg.frame_planar_cap, sectors=S
     )
     sphere_frame = features.gather_top(
-        general_cloud, sel.sphere_submap, flat, cfg.frame_sphere_cap
+        general_cloud, sel.sphere_submap, flat, cfg.frame_sphere_cap, sectors=S
     )
     return ScanFeatures(
         scan=scan,
@@ -158,6 +171,9 @@ def preprocess_frame(raw: Cloud, cfg: PipelineConfig) -> ScanFeatures:
         ground_ds=Cloud(g_xyz, g_int, g_val),
         edge_ds=Cloud(e_xyz, e_int, e_val),
         num_clusters=clusters.num_clusters,
+        box_min=clusters.box_min,
+        box_max=clusters.box_max,
+        box_valid=clusters.box_valid,
     )
 
 
@@ -168,11 +184,12 @@ def preprocess_frame(raw: Cloud, cfg: PipelineConfig) -> ScanFeatures:
 
 def empty_submap(cfg: PipelineConfig, dtype=jnp.float32) -> SubmapState:
     od = cfg.odometry
-    W = od.planar_frame_size
+    Wp, Ws = od.planar_frame_size, od.sphere_frame_size
     return SubmapState(
-        planar_frames=Cloud.empty(cfg.frame_planar_cap, dtype, batch=(W,)),
-        sphere_frames=Cloud.empty(cfg.frame_sphere_cap, dtype, batch=(W,)),
-        frame_poses=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (W, 4, 4)),
+        planar_frames=Cloud.empty(cfg.frame_planar_cap, dtype, batch=(Wp,)),
+        sphere_frames=Cloud.empty(cfg.frame_sphere_cap, dtype, batch=(Ws,)),
+        frame_poses=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (Wp, 4, 4)),
+        sphere_poses=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (Ws, 4, 4)),
         frames_filled=jnp.asarray(0, jnp.int32),
         edge_map=Cloud.empty(od.submap_edge_cap, dtype),
         ground_map=Cloud.empty(od.submap_ground_cap, dtype),
@@ -195,7 +212,7 @@ def submap_features(state: SubmapState, cfg: PipelineConfig) -> FeatureSet:
     if cfg.sphere_submap_from_planar:
         sphere = planar  # reference quirk: both submaps from the planar deque
     else:
-        sphere = _flatten_window(state.sphere_frames, state.frame_poses)
+        sphere = _flatten_window(state.sphere_frames, state.sphere_poses)
     return FeatureSet(
         edge=state.edge_map,
         sphere=sphere,
@@ -208,20 +225,23 @@ def update_submap(
     state: SubmapState, feats: ScanFeatures, pose: jax.Array, cfg: PipelineConfig
 ) -> SubmapState:
     od = cfg.odometry
-    W = od.planar_frame_size
-    slot = state.frames_filled % W
+    slot = state.frames_filled % od.planar_frame_size
+    slot_s = state.frames_filled % od.sphere_frame_size
 
-    def push(frames: Cloud, new: Cloud) -> Cloud:
+    def push(frames: Cloud, new: Cloud, at) -> Cloud:
         return jax.tree.map(
-            lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, slot, 0),
+            lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, at, 0),
             frames,
             new,
         )
 
-    planar_frames = push(state.planar_frames, feats.planar_frame)
-    sphere_frames = push(state.sphere_frames, feats.sphere_frame)
+    planar_frames = push(state.planar_frames, feats.planar_frame, slot)
+    sphere_frames = push(state.sphere_frames, feats.sphere_frame, slot_s)
     frame_poses = jax.lax.dynamic_update_index_in_dim(
         state.frame_poses, pose.astype(state.frame_poses.dtype), slot, 0
+    )
+    sphere_poses = jax.lax.dynamic_update_index_in_dim(
+        state.sphere_poses, pose.astype(state.sphere_poses.dtype), slot_s, 0
     )
 
     # edge/ground: accumulate -> crop ±L around current position -> downsample
@@ -247,6 +267,7 @@ def update_submap(
         planar_frames=planar_frames,
         sphere_frames=sphere_frames,
         frame_poses=frame_poses,
+        sphere_poses=sphere_poses,
         frames_filled=state.frames_filled + 1,
         edge_map=edge_map,
         ground_map=ground_map,
@@ -277,18 +298,22 @@ def seed_submap(
 def update_submap_window_only(
     state: SubmapState, feats: ScanFeatures, pose: jax.Array, cfg: PipelineConfig
 ) -> SubmapState:
-    W = cfg.odometry.planar_frame_size
-    slot = state.frames_filled % W
-    push = lambda frames, new: jax.tree.map(
-        lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, slot, 0),
+    od = cfg.odometry
+    slot = state.frames_filled % od.planar_frame_size
+    slot_s = state.frames_filled % od.sphere_frame_size
+    push = lambda frames, new, at: jax.tree.map(
+        lambda buf, x: jax.lax.dynamic_update_index_in_dim(buf, x, at, 0),
         frames,
         new,
     )
     return state._replace(
-        planar_frames=push(state.planar_frames, feats.planar_frame),
-        sphere_frames=push(state.sphere_frames, feats.sphere_frame),
+        planar_frames=push(state.planar_frames, feats.planar_frame, slot),
+        sphere_frames=push(state.sphere_frames, feats.sphere_frame, slot_s),
         frame_poses=jax.lax.dynamic_update_index_in_dim(
             state.frame_poses, pose.astype(state.frame_poses.dtype), slot, 0
+        ),
+        sphere_poses=jax.lax.dynamic_update_index_in_dim(
+            state.sphere_poses, pose.astype(state.sphere_poses.dtype), slot_s, 0
         ),
         frames_filled=state.frames_filled + 1,
     )
@@ -300,13 +325,15 @@ def update_submap_window_only(
 
 
 def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdometryState:
-    eye = jnp.eye(4, dtype=dtype)
+    # NB: three DISTINCT identity buffers — sharing one array across leaves
+    # would make donate_argnums donate the same buffer multiple times
+    # (Execute() rejects that with "donate the same buffer twice")
     map_cap = cfg.odometry.global_map_cap if cfg.odometry.mapping_flag else 1
     return OdometryState(
         submap=empty_submap(cfg, dtype),
-        pose=eye,
-        last_pose=eye,
-        predict=eye,
+        pose=jnp.eye(4, dtype=dtype),
+        last_pose=jnp.eye(4, dtype=dtype),
+        predict=jnp.eye(4, dtype=dtype),
         frame_idx=jnp.asarray(0, jnp.int32),
         global_map=Cloud.empty(map_cap, dtype),
     )
@@ -330,8 +357,7 @@ def _accumulate_global_map(
     return Cloud(mx, mi, mv)
 
 
-@partial(jax.jit, static_argnums=2)
-def odometry_step(
+def _odometry_step_impl(
     state: OdometryState, raw: Cloud, cfg: PipelineConfig
 ) -> tuple[OdometryState, jax.Array, Diagnostics]:
     """Process one scan; returns (state', world_T_scan pose, diagnostics)."""
@@ -382,7 +408,43 @@ def odometry_step(
             diag,
         )
 
-    return jax.lax.cond(state.frame_idx == 0, first_frame, normal_frame, state)
+    state, pose, diag = jax.lax.cond(
+        state.frame_idx == 0, first_frame, normal_frame, state
+    )
+    diag = diag._replace(
+        box_min=feats.box_min,
+        box_max=feats.box_max,
+        box_valid=feats.box_valid,
+        num_clusters=feats.num_clusters,
+    )
+    return state, pose, diag
+
+
+# The hot-loop entry DONATES the state pytree and the raw scan: their buffers
+# are reused for the outputs (the submap ring buffers and global map dominate
+# HBM traffic — without donation every frame round-trips them through fresh
+# allocations). Callers must rebind `state` to the returned value and must
+# not reuse `raw` after the call. `odometry_step_nodonate` keeps the
+# re-invokable semantics for compile checks and ad-hoc experiments.
+#
+# The axon relay plugin (remote-tunneled TPU used in CI) rejects executables
+# with input-output aliasing (runtime InvalidArgument), so donation is gated
+# on the backend — decided lazily at first call so importing this module
+# never initializes a JAX backend.
+_odometry_step_jitted = None
+
+
+def odometry_step(state, raw, cfg):
+    global _odometry_step_jitted
+    if _odometry_step_jitted is None:
+        donate = (0, 1) if jax.default_backend() != "axon" else ()
+        _odometry_step_jitted = jax.jit(
+            _odometry_step_impl, static_argnums=2, donate_argnums=donate
+        )
+    return _odometry_step_jitted(state, raw, cfg)
+
+
+odometry_step_nodonate = jax.jit(_odometry_step_impl, static_argnums=2)
 
 
 def run_sequence(

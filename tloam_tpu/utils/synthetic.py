@@ -23,6 +23,12 @@ class Scene:
     walls: list
     # poles: (cx, cy, radius, z_hi)
     poles: list
+    # bushes: (cx, cy, cz, radius) — volumetric scatterers (vegetation):
+    # rays intersecting the sphere return at a random depth inside it with
+    # probability ~0.6. These produce the isotropic high-cvr neighborhoods
+    # that classify as SPHERE features (the reference's cvr>0.15 gate,
+    # feature_extract.cpp:151-163); KITTI streets are full of them.
+    bushes: list = dataclasses.field(default_factory=list)
 
     @staticmethod
     def urban(rng: np.random.Generator | None = None, extent: float = 60.0) -> "Scene":
@@ -44,7 +50,22 @@ class Scene:
             (rng.uniform(-extent, extent), rng.uniform(-7, 7) * rng.choice([1]), 0.15, rng.uniform(2.5, 5.0))
             for _ in range(40)
         ]
-        return Scene(walls, poles)
+        # hedges hugging the building fronts (so sphere features land within
+        # the 0.45 m match gate of planar wall points — the reference's
+        # sphere submap IS the planar deque, front_end.cpp:221-229)
+        bushes = []
+        for axis, coord, lo0, hi0, _, _ in walls:
+            if axis != 1 or rng.uniform() > 0.5:
+                continue
+            x0 = lo0
+            while x0 < hi0:
+                r = rng.uniform(0.4, 0.9)
+                side = -1.0 if coord > 0 else 1.0
+                bushes.append(
+                    (x0 + r, coord + side * r * 0.7, r * 0.9, r)
+                )
+                x0 += 2 * r + rng.uniform(0.5, 6.0)
+        return Scene(walls, poles, bushes)
 
 
 def simulate_scan(
@@ -95,6 +116,21 @@ def simulate_scan(
         hit &= (p[:, 2] >= z_lo) & (p[:, 2] <= z_hi)
         tmin = np.minimum(tmin, np.where(hit, tw, np.inf))
 
+    # bushes: volumetric scatter — ray hits the sphere with p=0.6 and
+    # returns at a random depth inside [t_in, t_out]
+    for cx, cy, cz, rad in scene.bushes:
+        oc = origin - np.array([cx, cy, cz])
+        b = 2 * (dirs_w @ oc)
+        c = oc @ oc - rad * rad
+        disc = b * b - 4 * c  # a == 1 (unit directions)
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t_in = (-b - sq) / 2
+        t_out = (-b + sq) / 2
+        hit = (disc > 0) & (t_out > 0) & (rng.uniform(size=b.shape) < 0.6)
+        t_in = np.maximum(t_in, 0.0)
+        tb = t_in + rng.uniform(size=b.shape) * (t_out - t_in)
+        tmin = np.minimum(tmin, np.where(hit, tb, np.inf))
+
     # poles (infinite cylinder capped at z_hi)
     for cx, cy, rad, z_hi in scene.poles:
         ox, oy = origin[0] - cx, origin[1] - cy
@@ -135,4 +171,38 @@ def straight_trajectory(n_frames: int, step: float = 0.8, yaw_rate: float = 0.01
         x += step * c
         y += step * s
         yaw += yaw_rate
+    return np.stack(poses)
+
+
+def varied_trajectory(n_frames: int, step: float = 1.0, seed: int = 0):
+    """Long-horizon ground truth with the hard regimes a straight drive
+    misses: sharp turns, stop-and-go, and a reverse segment. Segment
+    schedule (fractions of n_frames):
+      0.00-0.25 straight, 0.25-0.35 left turn (~0.06 rad/frame),
+      0.35-0.50 straight, 0.50-0.56 STOP, 0.56-0.70 straight,
+      0.70-0.78 REVERSE, 0.78-0.88 right turn, 0.88-1.0 straight.
+    """
+    del seed
+    poses = []
+    x, y, yaw = 0.0, 0.0, 0.0
+    for i in range(n_frames):
+        f = i / max(n_frames, 1)
+        if 0.25 <= f < 0.35:
+            v, w = step, 0.06
+        elif 0.50 <= f < 0.56:
+            v, w = 0.0, 0.0  # stop-and-go
+        elif 0.70 <= f < 0.78:
+            v, w = -0.5 * step, 0.0  # reverse
+        elif 0.78 <= f < 0.88:
+            v, w = step, -0.06
+        else:
+            v, w = step, 0.0
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        T[0, 3], T[1, 3] = x, y
+        poses.append(T)
+        x += v * c
+        y += v * s
+        yaw += w
     return np.stack(poses)

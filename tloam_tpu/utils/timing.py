@@ -22,11 +22,20 @@ class StageTimer:
         self.counts = defaultdict(int)
 
     @contextlib.contextmanager
-    def stage(self, name: str, sync=None):
+    def stage(self, name: str):
+        """Time a block. Yields a holder: assign the block's device output to
+        ``holder.sync`` and the timer blocks on it before stopping the clock
+        (JAX dispatch is async — without this only dispatch time is
+        measured)."""
+
+        class _Holder:
+            sync = None
+
+        holder = _Holder()
         t0 = time.perf_counter()
-        yield
-        if sync is not None:
-            jax.block_until_ready(sync)
+        yield holder
+        if holder.sync is not None:
+            jax.block_until_ready(holder.sync)
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 
