@@ -21,22 +21,20 @@ def test_direct_table_roundtrip(rng):
     keys = jnp.asarray(rng.choice(2**31, size=n, replace=False) - 2**30, jnp.int32)
     keys2 = jnp.asarray(rng.integers(-(2**31), 2**31, size=n), jnp.int32)
     payload = jnp.arange(n, dtype=jnp.int32)
-    payload2 = payload * 7
     valid = jnp.asarray(rng.uniform(size=n) < 0.9)
-    dt = voxel.build_direct_table(keys, keys2, valid, payload, payload2)
+    dt = voxel.build_direct_table(keys, keys2, valid, payload)
 
-    found, p1, p2 = voxel.direct_lookup(dt, keys, keys2)
+    found, p1 = voxel.direct_lookup(dt, keys, keys2)
     v = np.asarray(valid)
     hit = np.asarray(found)
     # essentially all valid entries are retrievable (~1e-3 documented drops)
     assert hit[v].mean() > 0.995
     assert np.all(np.asarray(p1)[v & hit] == np.asarray(payload)[v & hit])
-    assert np.all(np.asarray(p2)[v & hit] == np.asarray(payload2)[v & hit])
     # invalid entries are never found
     assert not np.any(hit[~v])
     # random absent keys are not found
     probe = jnp.asarray(rng.integers(-(2**31), 2**31, size=1000), jnp.int32)
-    f2, _, _ = voxel.direct_lookup(dt, probe, probe * 3 + 1)
+    f2, _ = voxel.direct_lookup(dt, probe, probe * 3 + 1)
     absent = ~np.isin(np.asarray(probe), np.asarray(keys)[v])
     assert not np.any(np.asarray(f2)[absent])
 

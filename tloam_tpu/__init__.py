@@ -36,3 +36,13 @@ if not _os.environ.get("TLOAM_NO_COMPILE_CACHE"):
         _os.environ.get("TLOAM_COMPILE_CACHE_DIR", "/tmp/tloam_jax_cache"),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# TPU matmuls default to bf16 inputs; the solver's J^T J / J^T r reductions
+# and plane fits are einsums, and bf16 truncation of ~1e-4 residuals costs
+# ~0.4% relative error right where convergence is decided (the reference
+# solves in f64). All contractions here are tiny (6-wide), so full-precision
+# passes are free. Opt out with TLOAM_NO_HIGHEST_PRECISION=1.
+if not _os.environ.get("TLOAM_NO_HIGHEST_PRECISION"):
+    import jax as _jax2
+
+    _jax2.config.update("jax_default_matmul_precision", "highest")

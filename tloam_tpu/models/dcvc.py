@@ -7,7 +7,8 @@ and runs a sequential label-propagation loop whose merge step rescans ALL
 labels (worst case O(N·labels), segmentation.cpp:960-963). Here the same
 curved-voxel graph is built with sort/segment ops and connected components
 are solved by iterative min-label propagation + pointer jumping over voxels —
-a parallel hooking/compression CC — inside one jitted while_loop.
+a parallel hooking/compression CC — as a short unrolled sequence of fully
+vectorized rounds (see the loop-placement note in dcvc_segment).
 
 Reference geometry reproduced exactly:
   * polar coords (r, pitch deg, azimuth deg in [0,360)) with gates
@@ -34,6 +35,7 @@ from tloam_tpu.config import DCVCConfig, SensorConfig
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
 _SENT = jnp.iinfo(jnp.int32).max
 _POLAR_CAP = 512  # static cap on radial bins (~400 used for 120 m range)
+_PITCH_CAP = 48  # static cap on pitch bins (HDL-64 vertical FOV / 1.2 deg ~ 23)
 
 
 def _hash3(c: jax.Array) -> jax.Array:
@@ -79,11 +81,32 @@ def curved_voxel_coords(
     min_polar = jnp.where(jnp.isfinite(min_polar), min_polar, 0.0)
 
     # dynamic radial bounds: bounds[k] = minPolar + sum_{s=1..k+1}(startR - s*deltaR)
-    steps = jnp.arange(1, _POLAR_CAP + 1, dtype=xyz.dtype)
-    widths = jnp.maximum(cfg.start_r - steps * cfg.delta_r, 1e-4)
-    bounds = min_polar + jnp.cumsum(widths)
-    polar_idx = jnp.searchsorted(bounds, r, side="right").astype(jnp.int32)
-    polar_idx = jnp.minimum(polar_idx, _POLAR_CAP - 1)
+    # = minPolar + m*startR - deltaR*m(m+1)/2 with m = k+1 (while widths stay
+    # positive — true for every k < _POLAR_CAP with the shipped config).
+    # searchsorted lowers to a 9-step serial-gather binary search (~10 ms at
+    # 131k queries); instead invert the quadratic in closed form and fix the
+    # result with two exact boundary checks (f32 sqrt can be off by one).
+    def bound(m):
+        return min_polar + m * cfg.start_r - cfg.delta_r * m * (m + 1.0) * 0.5
+
+    # searchsorted("right") == #{m >= 1 : bound(m) <= r} == floor(t) where
+    # bound(t) = r over the reals (bound is increasing on this range).
+    b2 = cfg.start_r - 0.5 * cfg.delta_r
+    if cfg.delta_r > 1e-12:
+        # citardauq form of the smaller root — no cancellation for small r
+        B = 2.0 * b2 / cfg.delta_r
+        C = 2.0 * jnp.maximum(r - min_polar, 0.0) / cfg.delta_r
+        disc = jnp.maximum(B * B - 4.0 * C, 0.0)
+        m_est = 2.0 * C / (B + jnp.sqrt(disc))
+    else:
+        m_est = (r - min_polar) / jnp.maximum(cfg.start_r, 1e-9)
+    idx = jnp.floor(m_est).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, _POLAR_CAP)
+    # f32 sqrt can land one off — correct with exact boundary evaluations
+    fidx = idx.astype(xyz.dtype)
+    idx = jnp.where(bound(fidx + 1.0) <= r, idx + 1, idx)
+    idx = jnp.where((idx >= 1) & (bound(fidx) > r), idx - 1, idx)
+    polar_idx = jnp.clip(idx, 0, _POLAR_CAP - 1)
 
     pitch_idx = jnp.round((pitch - min_pitch) / cfg.delta_p).astype(jnp.int32)
     azim_idx = jnp.round(azim / cfg.delta_a).astype(jnp.int32)
@@ -138,7 +161,7 @@ def dcvc_segment(
     sensor: SensorConfig,
     max_voxels: int = 16384,
     max_clusters: int = 128,
-    cc_iters: int = 32,
+    cc_iters: int = 12,
 ) -> DCVCResult:
     """Cluster the non-ground cloud into objects (reference objectSegmentation,
     segmentation.cpp:1085-1112)."""
@@ -147,32 +170,44 @@ def dcvc_segment(
 
     width = int(round(360.0 / cfg.delta_a)) + 1  # 301 for deltaA=1.2
 
-    # hash table over voxels for neighbor lookup: direct-addressed table
-    # (4 packed probes; see ops/voxel.py on why not searchsorted), double
-    # hash instead of coord comparison (TPU minor-dim tiling).
-    from tloam_tpu.ops.voxel import build_direct_table, direct_lookup
-
-    keys = jnp.where(vox_valid, _hash3(vox_coords), _SENT)
-    keys2 = jnp.where(
-        vox_valid, _hash3b(vox_coords[:, 0], vox_coords[:, 1], vox_coords[:, 2]), 0
-    )
+    # DENSE voxel index instead of a hash table: curved-voxel coords are
+    # BOUNDED (azimuth < width+1, polar < _POLAR_CAP, pitch < _PITCH_CAP),
+    # so a (A*P*H)-slot dense int32 array answers every neighbor lookup with
+    # ONE gather — no probing, no key checks. ~20 MB, rebuilt per frame
+    # (memset + 32k scatter, trivial next to the probe gathers it replaces).
     V = max_voxels
-    dt = build_direct_table(keys, keys2, vox_valid, jnp.arange(V, dtype=jnp.int32))
+    A = width + 1
+    dense_n = A * _POLAR_CAP * _PITCH_CAP
 
-    # neighbor cell coords as scalar (V,27) planes, azimuth clamp quirk:
-    # ax<0 -> width-1; ax>300 -> 300 (searchKNN :897-900)
+    def dense_key(a, p, h):
+        return (a * _POLAR_CAP + p) * _PITCH_CAP + h
+
+    vc_a, vc_p, vc_h = vox_coords[:, 0], vox_coords[:, 1], vox_coords[:, 2]
+    in_range = (
+        vox_valid
+        & (vc_a >= 0) & (vc_a < A)
+        & (vc_p >= 0) & (vc_p < _POLAR_CAP)
+        & (vc_h >= 0) & (vc_h < _PITCH_CAP)
+    )
+    vkey = jnp.where(in_range, dense_key(vc_a, vc_p, vc_h), dense_n)
+    dense = jnp.full((dense_n + 1,), -1, jnp.int32).at[vkey].set(
+        jnp.arange(V, dtype=jnp.int32), mode="drop"
+    )
+
+    # neighbor cell coords as (27, V) planes (V minor: no tile padding),
+    # azimuth clamp quirk: ax<0 -> width-1; ax>300 -> 300 (searchKNN :897-900)
     offs = _neighbor_offsets(width)  # (27,3)
-    ax = vox_coords[:, 0:1] + offs[None, :, 0]
+    ax = vc_a[None, :] + offs[:, 0:1]
     ax = jnp.where(ax < 0, width - 1, ax)
     ax = jnp.where(ax > 300, 300, ax)
-    py = vox_coords[:, 1:2] + offs[None, :, 1]
-    ph = vox_coords[:, 2:3] + offs[None, :, 2]
-    # pitch/polar out-of-range neighbors simply won't match any voxel.
-
-    nbr_hash = ax * _P1 + py * _P2 + ph * _P3
-    nbr_hash2 = _hash3b(ax, py, ph)
-    nfound, nrow, _ = direct_lookup(dt, nbr_hash, nbr_hash2)
-    nbr_idx = jnp.where(nfound, nrow, -1)  # (V,27) voxel table idx
+    py = vc_p[None, :] + offs[:, 1:2]
+    ph = vc_h[None, :] + offs[:, 2:3]
+    nok = (
+        (py >= 0) & (py < _POLAR_CAP) & (ph >= 0) & (ph < _PITCH_CAP)
+        & (ax >= 0) & (ax < A)
+    )
+    nkey = jnp.where(nok, dense_key(ax, py, ph), dense_n)
+    nbr_idx = dense[nkey]  # (27, V), -1 where absent
 
     # --- parallel connected components over voxels ---
     init_label = jnp.where(vox_valid, jnp.arange(V, dtype=jnp.int32), V - 1)
@@ -182,25 +217,34 @@ def dcvc_segment(
     # is nonetheless bidirectional. We symmetrize: gather-min over out-edges
     # plus scatter-min pushing each label onto its neighbors.
     #
-    # Fixed-trip fori_loop (not while_loop): a data-dependent `changed`
-    # reduction per iteration forced XLA to place the loop state in scalar
-    # memory, serializing the gathers (~30x slower); with pointer jumping the
-    # label spread is superlinear, so cc_iters fixed rounds always converge.
+    # UNROLLED Python loop (no fori/while): loop-carried label state gets
+    # placed in scoped scalar memory by XLA's TPU loop handling, serializing
+    # the 884k-element body gathers ~8x (measured round 2: 460 ms/frame in
+    # while form vs ~tens of ms unrolled). Pointer jumping makes label spread
+    # superlinear, so `cc_iters` rounds (default 12) always converge for
+    # physical cluster diameters.
     flat_tgt = jnp.where(nbr_idx >= 0, nbr_idx, V).reshape(-1)
+    nbr_safe = jnp.maximum(nbr_idx, 0)
 
-    def cc_body(_, label):
-        nl = jnp.where(nbr_idx >= 0, label[jnp.maximum(nbr_idx, 0)], V)
-        gather_min = jnp.min(nl, axis=1)
-        src = jnp.broadcast_to(label[:, None], nbr_idx.shape).reshape(-1)
+    label = init_label
+    for _ in range(cc_iters):
+        nl = jnp.where(nbr_idx >= 0, label[nbr_safe], V)  # (27, V) gather
+        gather_min = jnp.min(nl, axis=0)
+        src = jnp.broadcast_to(label[None, :], nbr_idx.shape).reshape(-1)
         push_min = jax.ops.segment_min(src, flat_tgt, num_segments=V + 1)[:V]
         best = jnp.minimum(jnp.minimum(gather_min, push_min), label)
+        # HOOKING (Shiloach-Vishkin): every tree adopts the min label seen by
+        # ANY of its members this round — plain min-propagation only moves
+        # one graph hop per round (a wall spanning 300 azimuth cells would
+        # need ~300 rounds); hooking + jumping converges in O(log V).
+        root_min = jax.ops.segment_min(
+            best, jnp.where(vox_valid, label, V), num_segments=V + 1
+        )[:V]
+        best = jnp.minimum(best, root_min[jnp.minimum(label, V - 1)])
         best = jnp.where(vox_valid, best, label)
         # pointer jumping (path compression) x2
         best = best[best]
-        best = best[best]
-        return best
-
-    label = jax.lax.fori_loop(0, cc_iters, cc_body, init_label)
+        label = best[best]
 
     # --- cluster stats ---
     pts_per_vox = jax.ops.segment_sum(

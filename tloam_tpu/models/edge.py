@@ -9,9 +9,10 @@ sector, suppressing up to ±5 consecutive neighbors while the chain of
 adjacent point gaps stays <= 0.05 (squared).
 
 The greedy pick is inherently sequential PER PICK but parallel ACROSS the
-384 (ring, sector) groups: we run `picks_per_sector` rounds of a batched
-segment-argmax over all groups simultaneously, each round scattering the
-suppression window. Everything is one jitted program on fixed shapes.
+384 (ring, sector) groups: interior candidates are scattered ONCE into a
+dense (ring, position) matrix and `picks_per_sector` rounds of row-sector
+argmax + shift-based chain suppression run as pure vector ops (no per-round
+scatters). Everything is one jitted program on fixed shapes.
 
 Behaviors reproduced:
   * ring sequences ordered as the reference sees them (cluster-major within
@@ -38,17 +39,6 @@ class EdgeResult(NamedTuple):
     edge_mask: jax.Array  # (N,) picked edge points (in input slot order)
     general_mask: jax.Array  # (N,) non-edge curvature-carrying points
     curvature: jax.Array  # (N,) smoothness value (0 where undefined)
-
-
-def _segment_argmax(values: jax.Array, seg: jax.Array, num_segments: int):
-    """Argmax per segment. Returns (argmax_index (S,), max_value (S,))."""
-    seg_max = jax.ops.segment_max(values, seg, num_segments=num_segments)
-    is_max = values == seg_max[seg]
-    # first index achieving the max
-    n = values.shape[0]
-    idx = jnp.where(is_max, jnp.arange(n), n)
-    arg = jax.ops.segment_min(idx, seg, num_segments=num_segments)
-    return arg, seg_max
 
 
 def extract_edges(
@@ -123,43 +113,89 @@ def extract_edges(
     sector = jnp.clip(
         (num_sectors * (pos - 5)) // total_pts, 0, num_sectors - 1
     )
-    group = jnp.where(
-        interior, ring_s * num_sectors + sector, sensor_model * num_sectors
-    ).astype(jnp.int32)
-    num_groups = sensor_model * num_sectors + 1
-
     # adjacent-gap (squared) along the sorted order, within rings
     gx = jnp.roll(xs, -1) - xs
     gy = jnp.roll(ys, -1) - ys
     gz = jnp.roll(zs, -1) - zs
     nxt_gap = gx * gx + gy * gy + gz * gz
 
+    # --- dense (ring, position) layout for the greedy pick rounds ---
+    # The flat formulation needs a segment-argmax (segment_max + segment_min
+    # scatters over 131k) plus a onehot scatter EVERY round — ~67 ms/frame on
+    # TPU. Scattering the interior candidates ONCE into a (rings, W) matrix
+    # turns each round into row reductions + static shifts (pure vector ops),
+    # and row isolation makes ring-boundary chain handling exact (the flat
+    # rolls could leak a chain across a ring boundary).
+    W = 4096  # > max interior positions per ring (KITTI HDL-64 ~2200/ring)
+    R = sensor_model
+    drow = jnp.where(interior, ring_s, R)
+    dcol = jnp.clip(pos - 5, 0, W - 1)
+    dslot = jnp.where(interior & (pos - 5 < W), drow * W + dcol, R * W)
+
+    NEG = jnp.asarray(-1.0, dtype)
+    dcurv = jnp.full((R * W + 1,), NEG).at[dslot].set(
+        jnp.where(interior, curv, NEG), mode="drop"
+    )[: R * W].reshape(R, W)
+    # gap from this interior position to the NEXT ring position; the last
+    # interior slot's gap leads out of the interior — chains may still use it
+    # only if the next position is also interior, which dense emptiness
+    # (gap=inf at unscattered slots) handles via the shifted AND below.
+    BIGG = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    dgap = jnp.full((R * W + 1,), BIGG).at[dslot].set(
+        jnp.where(interior, nxt_gap, BIGG), mode="drop"
+    )[: R * W].reshape(R, W)
+    dsec = jnp.full((R * W + 1,), -1, jnp.int32).at[dslot].set(
+        jnp.where(interior, sector, -1).astype(jnp.int32), mode="drop"
+    )[: R * W].reshape(R, W)
+
+    col_iota = jnp.arange(W, dtype=jnp.int32)[None, :]
+    avail = dcurv > NEG
+    edge_d = jnp.zeros((R, W), bool)
+    picked_d = jnp.zeros((R, W), bool)
+
+    def shift_right(a, fill=False):
+        return jnp.concatenate(
+            [jnp.full((R, 1), fill, a.dtype), a[:, :-1]], axis=1
+        )
+
+    def shift_left(a, fill=False):
+        return jnp.concatenate(
+            [a[:, 1:], jnp.full((R, 1), fill, a.dtype)], axis=1
+        )
+
     def pick_round(state, _):
-        available, edge_mask, picked = state
-        cand = jnp.where(available & (curv > curv_thres), curv, -1.0)
-        arg, mx = _segment_argmax(cand, group, num_groups)
-        got = (mx > 0) & (jnp.arange(num_groups) < num_groups - 1)
-        sel = jnp.where(got, arg, n)  # (G,) selected positions or n
-        onehot = jnp.zeros((n + 1,), bool).at[sel].set(got, mode="drop")[:n]
-        edge_mask = edge_mask | onehot
-        picked = picked | onehot
-        # suppression: walk ±5 while the adjacent chain gap stays small.
+        avail, edge_d, picked_d = state
+        cand = jnp.where(avail & (dcurv > curv_thres), dcurv, NEG)
+        onehot = jnp.zeros((R, W), bool)
+        for s in range(num_sectors):
+            cand_s = jnp.where(dsec == s, cand, NEG)
+            mx = jnp.max(cand_s, axis=1, keepdims=True)
+            arg = jnp.argmax(cand_s, axis=1)  # first max = scan order
+            onehot = onehot | ((col_iota == arg[:, None]) & (mx > 0))
+        edge_d = edge_d | onehot
         sup = onehot
         chain_r = onehot
         chain_l = onehot
-        for k in range(1, 6):
-            # right: position id+k suppressed if all gaps id..id+k-1 <= thr
-            chain_r = jnp.roll(chain_r & (nxt_gap <= suppress_gap_sq), 1)
-            chain_l = jnp.roll(chain_l & (jnp.roll(nxt_gap, 1) <= suppress_gap_sq), -1)
+        gap_ok = dgap <= suppress_gap_sq
+        for _k in range(5):
+            # right: position j+1 suppressed if chain alive at j AND gap j ok
+            chain_r = shift_right(chain_r & gap_ok)
+            chain_l = shift_left(chain_l) & gap_ok
             sup = sup | chain_r | chain_l
-        picked = picked | sup
-        available = available & ~picked
-        return (available, edge_mask, picked), None
+        picked_d = picked_d | sup
+        avail = avail & ~picked_d
+        return (avail, edge_d, picked_d), None
 
-    init = (interior, jnp.zeros((n,), bool), jnp.zeros((n,), bool))
-    (available, edge_mask_s, picked_s), _ = jax.lax.scan(
-        pick_round, init, None, length=picks_per_sector
+    (avail, edge_d, picked_d), _ = jax.lax.scan(
+        pick_round, (avail, edge_d, picked_d), None, length=picks_per_sector
     )
+
+    # back to the flat sorted order
+    flat_edge = edge_d.reshape(-1)
+    flat_picked = picked_d.reshape(-1)
+    safe_slot = jnp.minimum(dslot, R * W - 1)
+    edge_mask_s = interior & flat_edge[safe_slot]
+    picked_s = interior & flat_picked[safe_slot]
 
     general_mask_s = interior & ~picked_s
 
