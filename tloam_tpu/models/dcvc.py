@@ -170,17 +170,15 @@ def dcvc_segment(
 
     width = int(round(360.0 / cfg.delta_a)) + 1  # 301 for deltaA=1.2
 
-    # DENSE voxel index instead of a hash table: curved-voxel coords are
-    # BOUNDED (azimuth < width+1, polar < _POLAR_CAP, pitch < _PITCH_CAP),
-    # so a (A*P*H)-slot dense int32 array answers every neighbor lookup with
-    # ONE gather — no probing, no key checks. ~20 MB, rebuilt per frame
-    # (memset + 32k scatter, trivial next to the probe gathers it replaces).
+    # DENSE curved-voxel grid: coords are BOUNDED (azimuth < width+1, polar <
+    # _POLAR_CAP, pitch < _PITCH_CAP), so labels live on a dense
+    # (pitch, azim, polar) volume — axis order chosen so the two MINOR dims
+    # (azim=302 -> 304 sublanes, polar=512 lanes) tile (8,128) with no
+    # padding waste. ~30 MB, rebuilt by one 32k scatter per CC round.
     V = max_voxels
     A = width + 1
-    dense_n = A * _POLAR_CAP * _PITCH_CAP
-
-    def dense_key(a, p, h):
-        return (a * _POLAR_CAP + p) * _PITCH_CAP + h
+    dense_shape = (_PITCH_CAP, A, _POLAR_CAP)
+    dense_n = _PITCH_CAP * A * _POLAR_CAP
 
     vc_a, vc_p, vc_h = vox_coords[:, 0], vox_coords[:, 1], vox_coords[:, 2]
     in_range = (
@@ -189,54 +187,76 @@ def dcvc_segment(
         & (vc_p >= 0) & (vc_p < _POLAR_CAP)
         & (vc_h >= 0) & (vc_h < _PITCH_CAP)
     )
-    vkey = jnp.where(in_range, dense_key(vc_a, vc_p, vc_h), dense_n)
-    dense = jnp.full((dense_n + 1,), -1, jnp.int32).at[vkey].set(
-        jnp.arange(V, dtype=jnp.int32), mode="drop"
-    )
-
-    # neighbor cell coords as (27, V) planes (V minor: no tile padding),
-    # azimuth clamp quirk: ax<0 -> width-1; ax>300 -> 300 (searchKNN :897-900)
-    offs = _neighbor_offsets(width)  # (27,3)
-    ax = vc_a[None, :] + offs[:, 0:1]
-    ax = jnp.where(ax < 0, width - 1, ax)
-    ax = jnp.where(ax > 300, 300, ax)
-    py = vc_p[None, :] + offs[:, 1:2]
-    ph = vc_h[None, :] + offs[:, 2:3]
-    nok = (
-        (py >= 0) & (py < _POLAR_CAP) & (ph >= 0) & (ph < _PITCH_CAP)
-        & (ax >= 0) & (ax < A)
-    )
-    nkey = jnp.where(nok, dense_key(ax, py, ph), dense_n)
-    nbr_idx = dense[nkey]  # (27, V), -1 where absent
+    vkey = jnp.where(
+        in_range, (vc_h * A + vc_a) * _POLAR_CAP + vc_p, dense_n
+    )  # (V,) flat dense slot per voxel (dense_n = dropped)
+    vkey_safe = jnp.minimum(vkey, dense_n - 1)
 
     # --- parallel connected components over voxels ---
     init_label = jnp.where(vox_valid, jnp.arange(V, dtype=jnp.int32), V - 1)
 
-    # The reference's azimuth clamp creates DIRECTED edges at the 0/360 wrap
-    # (cell 0 lists 300 as neighbor, but not vice versa); its sequential merge
-    # is nonetheless bidirectional. We symmetrize: gather-min over out-edges
-    # plus scatter-min pushing each label onto its neighbors.
+    # The 26-neighborhood (3x3x3 box incl. self) min of the reference's
+    # searchKNN (segmentation.cpp:884-905) is SEPARABLE on the dense grid:
+    # three shift-min passes (pitch, azimuth, polar), each a pure vector op —
+    # replacing the previous sparse formulation's 884k-element gather +
+    # segment-min race per round (measured 167 ms/frame of the 474 ms step;
+    # the dense passes cost ~0.5 ms/round). Empty cells hold INT32_MAX and
+    # are transparent to min; reach per round stays Chebyshev distance 1, so
+    # connectivity is exactly the reference's box adjacency.
+    #
+    # Azimuth boundary: the reference clamps ax<0 -> width-1 and ax>300 ->
+    # 300 (searchKNN :897-900), i.e. cell 0 sees cell 300 across the 0/360
+    # wrap (directed); its sequential merge is bidirectional, so we
+    # symmetrize to a cyclic wrap over the `width` real azimuth columns
+    # (column `width` of the padded axis is never occupied).
     #
     # UNROLLED Python loop (no fori/while): loop-carried label state gets
     # placed in scoped scalar memory by XLA's TPU loop handling, serializing
-    # the 884k-element body gathers ~8x (measured round 2: 460 ms/frame in
-    # while form vs ~tens of ms unrolled). Pointer jumping makes label spread
-    # superlinear, so `cc_iters` rounds (default 12) always converge for
-    # physical cluster diameters.
-    flat_tgt = jnp.where(nbr_idx >= 0, nbr_idx, V).reshape(-1)
-    nbr_safe = jnp.maximum(nbr_idx, 0)
-
+    # the body (measured round 2). Hooking (Shiloach-Vishkin tree-wide min
+    # adoption) + pointer jumping keep convergence O(log V) rounds.
+    MAXI = jnp.iinfo(jnp.int32).max
     label = init_label
+
+    def box_min_pass(d3):
+        # pitch (axis 0, clamped): empty boundary
+        top = jnp.full((1,) + dense_shape[1:], MAXI, jnp.int32)
+        d3 = jnp.minimum(
+            d3,
+            jnp.minimum(
+                jnp.concatenate([d3[1:], top], axis=0),
+                jnp.concatenate([top, d3[:-1]], axis=0),
+            ),
+        )
+        # azimuth (axis 1, cyclic over the `width` real columns)
+        da = d3[:, :width, :]
+        da = jnp.minimum(
+            da,
+            jnp.minimum(jnp.roll(da, 1, axis=1), jnp.roll(da, -1, axis=1)),
+        )
+        pad = jnp.full((_PITCH_CAP, A - width, _POLAR_CAP), MAXI, jnp.int32)
+        d3 = jnp.concatenate([da, pad], axis=1)
+        # polar (axis 2, clamped)
+        side = jnp.full(dense_shape[:2] + (1,), MAXI, jnp.int32)
+        d3 = jnp.minimum(
+            d3,
+            jnp.minimum(
+                jnp.concatenate([d3[:, :, 1:], side], axis=2),
+                jnp.concatenate([side, d3[:, :, :-1]], axis=2),
+            ),
+        )
+        return d3
+
     for _ in range(cc_iters):
-        nl = jnp.where(nbr_idx >= 0, label[nbr_safe], V)  # (27, V) gather
-        gather_min = jnp.min(nl, axis=0)
-        src = jnp.broadcast_to(label[None, :], nbr_idx.shape).reshape(-1)
-        push_min = jax.ops.segment_min(src, flat_tgt, num_segments=V + 1)[:V]
-        best = jnp.minimum(jnp.minimum(gather_min, push_min), label)
+        dense = jnp.full((dense_n,), MAXI, jnp.int32).at[vkey].set(
+            label, mode="drop"
+        )
+        d3 = box_min_pass(dense.reshape(dense_shape))
+        m = d3.reshape(-1)[vkey_safe]  # (V,) box min incl. self
+        best = jnp.minimum(jnp.where(in_range, m, MAXI), label)
         # HOOKING (Shiloach-Vishkin): every tree adopts the min label seen by
-        # ANY of its members this round — plain min-propagation only moves
-        # one graph hop per round (a wall spanning 300 azimuth cells would
-        # need ~300 rounds); hooking + jumping converges in O(log V).
+        # ANY of its members this round — local box-min alone only moves one
+        # hop per round (a wall spanning 300 azimuth cells would need ~300
+        # rounds); hooking + jumping converges in O(log V).
         root_min = jax.ops.segment_min(
             best, jnp.where(vox_valid, label, V), num_segments=V + 1
         )[:V]

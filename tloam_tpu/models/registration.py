@@ -197,9 +197,9 @@ class _SurfCells(NamedTuple):
     the TPU-fast replacement for the reference's per-point SearchHybrid +
     fitBestPlane per iteration).
 
-    surf: (12, V) packed per-cell data (one gather serves all columns):
-      rows 0-2 window centroid, 3-5 plane normal, 6 plane d,
-      7-9 line direction, 10 ok_plane, 11 ok_line.
+    surf: per-cell records PACKED 16 lanes wide (voxel.pack_records) so one
+      (1,16) gather fetches a whole record: lanes 0-2 window centroid, 3-5
+      plane normal, 6 plane d, 7-9 line direction, 10 ok_plane, 11 ok_line.
     """
 
     dt: voxel.DirectTable
@@ -263,7 +263,9 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
         axis=0,
     )  # (12, V)
     return _SurfCells(
-        dt=table.dt, surf=surf, cell_size=jnp.asarray(cell_size, dtype)
+        dt=table.dt,
+        surf=voxel.pack_records(surf, 16),
+        cell_size=jnp.asarray(cell_size, dtype),
     )
 
 
@@ -284,16 +286,18 @@ def _query_surf_cells(cells: _SurfCells, scan_w: jax.Array, scan_valid: jax.Arra
     h2 = _hash2_parts(nx, ny, nz)
     found, row = direct_lookup(cells.dt, h1, h2)  # (Q,27)
 
-    # two-stage gather: fetch ONLY the centroid rows (3) for all 27
-    # candidates, pick the nearest, then fetch the full 12-row record for
-    # the single winning cell — 3.5x fewer gathered elements than pulling
-    # all 12 rows for all 27 cells (TPU gathers cost ~1 element/cycle).
+    # two-stage packed gather: fetch ONLY the first 4 record lanes (the
+    # centroid) for all 27 candidates, pick the nearest, then fetch the full
+    # 16-lane record for the single winning cell. Each fetch is ONE
+    # contiguous-lane gather row (see voxel.pack_records) — TPU gathers pay
+    # per row, so this beats both the strided (3,·)+(12,·) SoA gathers and a
+    # single-stage 16-lane fetch of all 27 candidates.
     rowf = jnp.where(found, row, 0).reshape(-1)
-    cen = jnp.take(cells.surf[:3], rowf, axis=1).reshape(3, Q, 27)
+    cen = voxel.gather_records(cells.surf, rowf, 16, 4)  # (Q*27, 4)
 
-    dx = cen[0] - scan_w[:, 0:1]
-    dy = cen[1] - scan_w[:, 1:2]
-    dz = cen[2] - scan_w[:, 2:3]
+    dx = cen[:, 0].reshape(Q, 27) - scan_w[:, 0:1]
+    dy = cen[:, 1].reshape(Q, 27) - scan_w[:, 1:2]
+    dz = cen[:, 2].reshape(Q, 27) - scan_w[:, 2:3]
     dist_sq = dx * dx + dy * dy + dz * dz
     BIG = jnp.asarray(jnp.finfo(scan_w.dtype).max, scan_w.dtype)
     dist_sq = jnp.where(found & scan_valid[:, None], dist_sq, BIG)
@@ -304,9 +308,9 @@ def _query_surf_cells(cells: _SurfCells, scan_w: jax.Array, scan_valid: jax.Arra
     best_found = jnp.take_along_axis(
         found.reshape(Q, 27), best[:, None], axis=1
     )[:, 0]
-    best_data = jnp.take(
-        cells.surf, jnp.where(best_found, best_row, 0), axis=1
-    )  # (12, Q)
+    best_data = voxel.gather_records(
+        cells.surf, jnp.where(best_found, best_row, 0), 16, 12
+    ).T  # (12, Q)
     best_d = jnp.take_along_axis(dist_sq, best[:, None], axis=1)[:, 0]
     ok = best_d < BIG
     return best_data, ok, jnp.sqrt(jnp.where(ok, best_d, 0.0))

@@ -120,36 +120,36 @@ def voxel_downsample(
 
 
 # ---------------------------------------------------------------------------
-# Direct-addressed (open-addressing) hash table
+# Direct-addressed (bucketized) hash table
 # ---------------------------------------------------------------------------
 #
 # jnp.searchsorted lowers to a ~log2(M)-step binary search, each step a
-# dependent gather — 16 serial gather rounds for a 65k table. An
-# open-addressed table answers the same lookup in `probes` (default 4)
-# packed gathers: slot = (h1 + p) & (H-1), compare both hashes, done.
+# dependent gather — 16 serial gather rounds for a 65k table. This table
+# answers the same lookup with ONE gather: entries live in 8-slot BUCKETS
+# of interleaved (check, payload) int32 pairs, a bucket = 16 contiguous
+# lanes, so the lookup is a single (1,16) row-chunk gather + an 8-way
+# vector compare. TPU gather cost scales with the number of gather ROWS,
+# not elements (contiguous lanes are nearly free), so one 16-lane gather
+# beats the previous 4-probe x (2,H)-column scheme ~4x in-program.
 
 
-_PROBES = 4  # open-addressing probe depth (static)
-_SIZE_FACTOR = 8  # table slots per entry (load factor 0.125)
+_BUCKET = 8  # slots per bucket (load factor 0.125 at B = next_pow2(V))
 _CHECK_MIX = np.int32(np.uint32(2654435761) & 0x7FFFFFFF)
 
 
 def _check_code(h1: jax.Array, h2: jax.Array) -> jax.Array:
-    """64-bit-strength verification in one int32: mixes BOTH hashes (the slot
-    index pins h1's low bits; this pins the rest). SENTINEL is reserved for
-    empty slots."""
+    """64-bit-strength verification in one int32: mixes BOTH hashes (the
+    bucket index pins h1's low bits; this pins the rest). SENTINEL is
+    reserved for empty slots."""
     c = h2 + h1 * _CHECK_MIX
     return jnp.where(c == _SENTINEL, _SENTINEL - 1, c)
 
 
 class DirectTable(NamedTuple):
-    """slots: (2, H) int32 rows [check, payload]; empty slots hold SENTINEL
-    in row 0. Probe depth is the static _PROBES.
-
-    TPU gathers run at ~1 element/cycle, so lookup cost is (rows x probes) x
-    n gathered elements — this packed 2-row/4-probe layout is 3x cheaper
-    than the previous 4-row/6-probe one; the halved load factor (0.125)
-    keeps the insertion drop rate below the old 6-probe level."""
+    """slots: (B/8, 128) int32 — B buckets of 8 (check, payload) slot pairs;
+    bucket b spans lanes [16*(b%8), 16*(b%8)+16) of row b//8. Empty slots
+    hold SENTINEL in the check lane. B = next_pow2(max(V, 64)): 8 slots per
+    bucket at expected load 1 entry/bucket makes overflow drops ~1e-6."""
 
     slots: jax.Array
 
@@ -160,22 +160,24 @@ def build_direct_table(
     valid: jax.Array,
     payload: jax.Array,
 ) -> DirectTable:
-    """Insert V entries with linear probing, built in `probes` vectorized
-    rounds (per round: losers of a slot race retry at the next slot).
-    Entries unplaced after all rounds are dropped (rare at load factor
-    0.125; callers tolerate a missed neighbor)."""
+    """Insert V entries, one vectorized race round per bucket slot (losers
+    of a slot race retry at the next slot of their bucket). Entries unplaced
+    after all 8 rounds are dropped (bucket-overflow probability ~1e-6 at
+    load 1; callers tolerate a missed neighbor)."""
     V = keys.shape[0]
-    H = 1 << int(np.ceil(np.log2(max(_SIZE_FACTOR * V, 64))))
-    mask = H - 1
+    B = 1 << int(np.ceil(np.log2(max(V, 64))))
+    mask = B - 1
+    H = B * _BUCKET
     check = _check_code(keys, keys2)
+    bucket = keys & mask
 
     slot_chk = jnp.full((H,), _SENTINEL, jnp.int32)
     slot_pay = jnp.zeros((H,), jnp.int32)
     placed = ~valid
     rows = jnp.arange(V, dtype=jnp.int32)
 
-    for p in range(_PROBES):
-        want = (keys + p) & mask
+    for s in range(_BUCKET):
+        want = bucket * _BUCKET + s
         want = jnp.where(placed, H, want)  # parked out of range
         # one winner per contested EMPTY slot
         empty = slot_chk[jnp.minimum(want, H - 1)] == _SENTINEL
@@ -187,28 +189,38 @@ def build_direct_table(
         slot_pay = slot_pay.at[tgt].set(payload, mode="drop")
         placed = placed | is_winner
 
-    return DirectTable(slots=jnp.stack([slot_chk, slot_pay], axis=0))
+    # pack: interleave (check, payload) per slot -> 8 buckets per 128-lane row
+    packed = jnp.stack([slot_chk, slot_pay], axis=-1).reshape(B // 8, 128)
+    return DirectTable(slots=packed)
 
 
 def direct_lookup(
     table: DirectTable, h1: jax.Array, h2: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
     """Vectorized lookup. h1/h2 any shape. Returns (found (bool), payload) —
-    payload 0 where not found."""
-    H = table.slots.shape[1]
-    mask = H - 1
+    payload 0 where not found. ONE 16-lane gather per query."""
+    B = table.slots.shape[0] * 8
+    mask = B - 1
     shape = h1.shape
     h1f = h1.reshape(-1)
     check = _check_code(h1f, h2.reshape(-1))
-    found = jnp.zeros_like(h1f, dtype=bool)
-    pay = jnp.zeros_like(h1f)
-    for p in range(_PROBES):
-        slot = (h1f + p) & mask
-        rowdata = jnp.take(table.slots, slot, axis=1)  # (2, n) one packed gather
-        hit = (rowdata[0] == check) & ~found
-        pay = jnp.where(hit, rowdata[1], pay)
-        found = found | hit
-    return found.reshape(shape), pay.reshape(shape)
+    bucket = h1f & mask
+    rec = jax.lax.gather(
+        table.slots,
+        jnp.stack([bucket >> 3, (bucket & 7) * 16], axis=-1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+        ),
+        slice_sizes=(1, 16),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # (n, 16)
+    chk = rec[:, 0::2]  # (n, 8)
+    pay = rec[:, 1::2]
+    hit = chk == check[:, None]
+    found = jnp.any(hit, axis=-1)
+    # duplicate keys are never inserted, so at most one slot hits
+    payv = jnp.sum(jnp.where(hit, pay, 0), axis=-1)
+    return found.reshape(shape), payv.reshape(shape)
 
 
 # ---------------------------------------------------------------------------
@@ -378,6 +390,45 @@ def gather_planes(points: jax.Array, idx: jax.Array):
 
 
 # ---------------------------------------------------------------------------
+# Packed record gathers
+# ---------------------------------------------------------------------------
+#
+# TPU gather cost scales with the number of gather ROWS, not elements —
+# contiguous lanes are nearly free while a K-column strided gather from a
+# (K, V) SoA block costs K rows per index. Packing each record's K values
+# into W contiguous lanes (128/W records per physical row) turns the fetch
+# into ONE (1, W)-slice gather per index.
+
+
+def pack_records(cols: jax.Array, width: int) -> jax.Array:
+    """Pack a (K <= width, V) SoA block into (ceil(V/(128/width)), 128) rows
+    of `width`-lane records. `width` must divide 128."""
+    K, V = cols.shape
+    per = 128 // width
+    Vp = -(-V // per) * per
+    a = jnp.pad(cols, ((0, width - K), (0, Vp - V)))
+    return a.T.reshape(Vp // per, 128)
+
+
+def gather_records(packed: jax.Array, idx: jax.Array, width: int, k: int):
+    """Fetch records packed by `pack_records`: idx (n,) -> (n, k) (the first
+    k lanes of each record; pass k < width to slice a record prefix
+    cheaply). Out-of-range idx must be clamped by the caller."""
+    per = 128 // width
+    starts = jnp.stack([idx // per, (idx % per) * width], axis=-1)
+    rec = jax.lax.gather(
+        packed,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+        ),
+        slice_sizes=(1, k),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+    return rec
+
+
+# ---------------------------------------------------------------------------
 # Cell tables (unique-voxel indexing for cell-aggregation algorithms)
 # ---------------------------------------------------------------------------
 
@@ -505,7 +556,11 @@ def anchored_window_moments(
 
     nbr_safe = jnp.maximum(nbr, 0)
     has = (nbr >= 0).astype(dtype)  # (V,27)
-    g = jnp.take(mom, nbr_safe.reshape(-1), axis=1).reshape(10, Vn, 27)
+    # one 16-lane record gather per neighbor instead of a 10-row strided
+    # gather (rows are what a TPU gather pays for — see pack_records)
+    momp = pack_records(mom, 16)
+    rec = gather_records(momp, nbr_safe.reshape(-1), 16, 10)  # (V*27, 10)
+    g = [rec[:, i].reshape(Vn, 27) for i in range(10)]  # lane slices, fusable
 
     # parallel-axis shift: neighbor j's sums are about a_j = a_i + D,
     # D = offset * cell_size; re-anchor to a_i: q_i = q_j + D.
