@@ -163,7 +163,9 @@ def extract_edges(
             [a[:, 1:], jnp.full((R, 1), fill, a.dtype)], axis=1
         )
 
-    def pick_round(state, _):
+    gap_ok = dgap <= suppress_gap_sq
+
+    def pick_round(state):
         avail, edge_d, picked_d = state
         cand = jnp.where(avail & (dcurv > curv_thres), dcurv, NEG)
         onehot = jnp.zeros((R, W), bool)
@@ -176,7 +178,6 @@ def extract_edges(
         sup = onehot
         chain_r = onehot
         chain_l = onehot
-        gap_ok = dgap <= suppress_gap_sq
         for _k in range(5):
             # right: position j+1 suppressed if chain alive at j AND gap j ok
             chain_r = shift_right(chain_r & gap_ok)
@@ -184,11 +185,16 @@ def extract_edges(
             sup = sup | chain_r | chain_l
         picked_d = picked_d | sup
         avail = avail & ~picked_d
-        return (avail, edge_d, picked_d), None
+        return avail, edge_d, picked_d
 
-    (avail, edge_d, picked_d), _ = jax.lax.scan(
-        pick_round, (avail, edge_d, picked_d), None, length=picks_per_sector
-    )
+    # UNROLLED rounds (no lax.scan): loop-carried (R,W) bool state placed in
+    # scoped memory by XLA's TPU loop handling serializes the row reductions
+    # (same effect as the DCVC CC loop, models/dcvc.py) — unrolling keeps the
+    # 20 rounds fully vectorized.
+    state = (avail, edge_d, picked_d)
+    for _ in range(picks_per_sector):
+        state = pick_round(state)
+    avail, edge_d, picked_d = state
 
     # back to the flat sorted order
     flat_edge = edge_d.reshape(-1)

@@ -107,13 +107,13 @@ def voxel_downsample(
     seg_id = jnp.where(valid_s, seg_id, max_out)  # invalid -> overflow bucket
 
     ones = valid_s.astype(xyz.dtype)
-    cnt = jax.ops.segment_sum(ones, seg_id, num_segments=max_out + 1)[:max_out]
-    sum_xyz = jax.ops.segment_sum(
-        xyz_s * ones[:, None], seg_id, num_segments=max_out + 1
-    )[:max_out]
-    sum_int = jax.ops.segment_sum(int_s * ones, seg_id, num_segments=max_out + 1)[
-        :max_out
-    ]
+    # ONE row-scatter: TPU scatter-add pays per row, not per element, so a
+    # packed (N,5) segment_sum costs ~1/5 of five scalar ones
+    vals = jnp.concatenate(
+        [xyz_s * ones[:, None], (int_s * ones)[:, None], ones[:, None]], axis=1
+    )
+    sums = jax.ops.segment_sum(vals, seg_id, num_segments=max_out + 1)[:max_out]
+    sum_xyz, sum_int, cnt = sums[:, :3], sums[:, 3], sums[:, 4]
     out_valid = cnt > 0
     denom = jnp.maximum(cnt, 1.0)
     return sum_xyz / denom[:, None], sum_int / denom, out_valid
@@ -125,12 +125,13 @@ def voxel_downsample(
 #
 # jnp.searchsorted lowers to a ~log2(M)-step binary search, each step a
 # dependent gather — 16 serial gather rounds for a 65k table. This table
-# answers the same lookup with ONE gather: entries live in 8-slot BUCKETS
-# of interleaved (check, payload) int32 pairs, a bucket = 16 contiguous
-# lanes, so the lookup is a single (1,16) row-chunk gather + an 8-way
-# vector compare. TPU gather cost scales with the number of gather ROWS,
-# not elements (contiguous lanes are nearly free), so one 16-lane gather
-# beats the previous 4-probe x (2,H)-column scheme ~4x in-program.
+# answers the same lookup with ONE row gather: entries live in 8-slot
+# BUCKETS of interleaved (check, payload) int32 pairs, 8 buckets per
+# 128-lane physical row. The lookup is a full-row `take` along axis 0 (the
+# embedding-lookup pattern — the one gather shape the TPU DMA engine is
+# actually fast at; jax.lax.gather with small slice_sizes lowers to a
+# catastrophic serial path, measured 50x slower in-program) followed by an
+# in-register masked select of the bucket's 16-lane group.
 
 
 _BUCKET = 8  # slots per bucket (load factor 0.125 at B = next_pow2(V))
@@ -160,34 +161,30 @@ def build_direct_table(
     valid: jax.Array,
     payload: jax.Array,
 ) -> DirectTable:
-    """Insert V entries, one vectorized race round per bucket slot (losers
-    of a slot race retry at the next slot of their bucket). Entries unplaced
-    after all 8 rounds are dropped (bucket-overflow probability ~1e-6 at
-    load 1; callers tolerate a missed neighbor)."""
+    """Insert V entries: ONE sort by bucket id gives each entry its in-bucket
+    rank (sorted same-bucket entries are adjacent); rank >= 8 overflows are
+    dropped (probability ~1e-6 at load 1 entry/bucket; callers tolerate a
+    missed neighbor). One sort + two scatters — 6x cheaper than the previous
+    8 rounds of slot races (each a gather + a segment-min over 8V slots)."""
     V = keys.shape[0]
     B = 1 << int(np.ceil(np.log2(max(V, 64))))
     mask = B - 1
     H = B * _BUCKET
     check = _check_code(keys, keys2)
-    bucket = keys & mask
+    bucket = jnp.where(valid, keys & mask, B)  # invalid sorts last
 
-    slot_chk = jnp.full((H,), _SENTINEL, jnp.int32)
-    slot_pay = jnp.zeros((H,), jnp.int32)
-    placed = ~valid
-    rows = jnp.arange(V, dtype=jnp.int32)
-
-    for s in range(_BUCKET):
-        want = bucket * _BUCKET + s
-        want = jnp.where(placed, H, want)  # parked out of range
-        # one winner per contested EMPTY slot
-        empty = slot_chk[jnp.minimum(want, H - 1)] == _SENTINEL
-        cand = jnp.where(~placed & empty, want, H)
-        winner = jax.ops.segment_min(rows, cand, num_segments=H + 1)[:H]
-        is_winner = ~placed & empty & (winner[jnp.minimum(want, H - 1)] == rows)
-        tgt = jnp.where(is_winner, want, H)  # H = out of bounds -> dropped
-        slot_chk = slot_chk.at[tgt].set(check, mode="drop")
-        slot_pay = slot_pay.at[tgt].set(payload, mode="drop")
-        placed = placed | is_winner
+    order = jnp.argsort(bucket)
+    b_s = bucket[order]
+    valid_s = valid[order]
+    idx = jnp.arange(V, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
+    start = jax.lax.cummax(jnp.where(first, idx, 0))
+    rank = idx - start
+    tgt = jnp.where(valid_s & (rank < _BUCKET), b_s * _BUCKET + rank, H)
+    slot_chk = jnp.full((H,), _SENTINEL, jnp.int32).at[tgt].set(
+        check[order], mode="drop"
+    )
+    slot_pay = jnp.zeros((H,), jnp.int32).at[tgt].set(payload[order], mode="drop")
 
     # pack: interleave (check, payload) per slot -> 8 buckets per 128-lane row
     packed = jnp.stack([slot_chk, slot_pay], axis=-1).reshape(B // 8, 128)
@@ -205,15 +202,10 @@ def direct_lookup(
     h1f = h1.reshape(-1)
     check = _check_code(h1f, h2.reshape(-1))
     bucket = h1f & mask
-    rec = jax.lax.gather(
-        table.slots,
-        jnp.stack([bucket >> 3, (bucket & 7) * 16], axis=-1),
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
-        ),
-        slice_sizes=(1, 16),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )  # (n, 16)
+    rows = jnp.take(table.slots, bucket >> 3, axis=0)  # (n, 128) row gather
+    grp = rows.reshape(-1, 8, 16)
+    sel = (bucket & 7)[:, None, None] == jnp.arange(8)[None, :, None]
+    rec = jnp.sum(jnp.where(sel, grp, 0), axis=1)  # (n, 16) masked select
     chk = rec[:, 0::2]  # (n, 8)
     pay = rec[:, 1::2]
     hit = chk == check[:, None]
@@ -412,20 +404,16 @@ def pack_records(cols: jax.Array, width: int) -> jax.Array:
 
 def gather_records(packed: jax.Array, idx: jax.Array, width: int, k: int):
     """Fetch records packed by `pack_records`: idx (n,) -> (n, k) (the first
-    k lanes of each record; pass k < width to slice a record prefix
-    cheaply). Out-of-range idx must be clamped by the caller."""
+    k lanes of each record). Full-row `take` + in-register masked group
+    select — jax.lax.gather with small slice_sizes lowers to a serial path
+    on TPU (measured 50x slower); the row take is the fast DMA pattern.
+    Out-of-range idx must be clamped by the caller."""
     per = 128 // width
-    starts = jnp.stack([idx // per, (idx % per) * width], axis=-1)
-    rec = jax.lax.gather(
-        packed,
-        starts,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
-        ),
-        slice_sizes=(1, k),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )
-    return rec
+    rows = jnp.take(packed, idx // per, axis=0)  # (n, 128)
+    grp = rows.reshape(-1, per, width)
+    sel = (idx % per)[:, None, None] == jnp.arange(per)[None, :, None]
+    rec = jnp.sum(jnp.where(sel, grp, 0), axis=1)  # (n, width)
+    return rec[:, :k]
 
 
 # ---------------------------------------------------------------------------
@@ -541,24 +529,25 @@ def anchored_window_moments(
     m = in_cell.astype(dtype)
     seg = jnp.where(in_cell, pc, Vn)
 
-    def cell_sum(v):
-        return jax.ops.segment_sum(v * m, seg, num_segments=Vn + 1)[:Vn]
-
-    mom = jnp.stack(
+    # ONE (N,10) row-scatter: TPU scatter-add pays per row, not per element
+    vals = jnp.stack(
         [
-            cell_sum(jnp.ones_like(qx)),
-            cell_sum(qx), cell_sum(qy), cell_sum(qz),
-            cell_sum(qx * qx), cell_sum(qx * qy), cell_sum(qx * qz),
-            cell_sum(qy * qy), cell_sum(qy * qz), cell_sum(qz * qz),
+            m,
+            qx * m, qy * m, qz * m,
+            qx * qx * m, qx * qy * m, qx * qz * m,
+            qy * qy * m, qy * qz * m, qz * qz * m,
         ],
-        axis=0,
-    )  # (10, V), anchored per cell
+        axis=1,
+    )  # (N, 10)
+    mom = jax.ops.segment_sum(vals, seg, num_segments=Vn + 1)[:Vn]
+    # (V, 10), anchored per cell
 
     nbr_safe = jnp.maximum(nbr, 0)
     has = (nbr >= 0).astype(dtype)  # (V,27)
     # one 16-lane record gather per neighbor instead of a 10-row strided
     # gather (rows are what a TPU gather pays for — see pack_records)
-    momp = pack_records(mom, 16)
+    Vp = -(-Vn // 8) * 8
+    momp = jnp.pad(mom, ((0, Vp - Vn), (0, 6))).reshape(Vp // 8, 128)
     rec = gather_records(momp, nbr_safe.reshape(-1), 16, 10)  # (V*27, 10)
     g = [rec[:, i].reshape(Vn, 27) for i in range(10)]  # lane slices, fusable
 
