@@ -43,7 +43,9 @@ def test_surf_cells_far_from_origin(rng):
     wall = _wall(rng)
     far = Cloud.from_numpy(wall + OFFSET, capacity=2048, dtype=jnp.float32)
     cells = _build_surf_cells(far, 0.5, 2048)
-    surf = np.asarray(cells.surf)
+    from tloam_tpu.ops.voxel import unpack_records
+
+    surf = np.asarray(unpack_records(cells.surf, 12, 16))
     okp = surf[10] > 0.5
     assert okp.sum() > 20
     # plane normals of the wall cells must be ~x-axis with |n|=1 and the

@@ -402,6 +402,14 @@ def pack_records(cols: jax.Array, width: int) -> jax.Array:
     return a.T.reshape(Vp // per, 128)
 
 
+def unpack_records(packed: jax.Array, k: int, width: int) -> jax.Array:
+    """Inverse of pack_records: (rows, 128) -> (k, rows*128/width) SoA block
+    (first k lanes of each record; trailing pad records included)."""
+    per = 128 // width
+    rows = packed.shape[0]
+    return packed.reshape(rows * per, width).T[:k]
+
+
 def gather_records(packed: jax.Array, idx: jax.Array, width: int, k: int):
     """Fetch records packed by `pack_records`: idx (n,) -> (n, k) (the first
     k lanes of each record). Full-row `take` + in-register masked group
