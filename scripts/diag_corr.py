@@ -148,8 +148,9 @@ def main():
             max(1024, min(submap.planar.capacity, 65536)),
         )
         data, ok, cen_dist = reg._query_surf_cells(cells, planar_w, scan.planar.valid)
-        out["planar_cells_okplane"] = jnp.sum(cells.surf[10] > 0.5)
-        out["planar_cells_total"] = jnp.sum(cells.surf[10] >= 0.0)
+        surf = voxel.unpack_records(cells.surf, 12, 16)
+        out["planar_cells_okplane"] = jnp.sum(surf[10] > 0.5)
+        out["planar_cells_total"] = jnp.sum(surf[10] >= 0.0)
         out["planar_q_valid"] = jnp.sum(scan.planar.valid)
         out["planar_q_found"] = jnp.sum(scan.planar.valid & ok)
         out["planar_q_okplane"] = jnp.sum(scan.planar.valid & ok & (data[10] > 0.5))

@@ -214,12 +214,17 @@ def dcvc_segment(
     # placed in scoped scalar memory by XLA's TPU loop handling, serializing
     # the body (measured round 2). Hooking (Shiloach-Vishkin tree-wide min
     # adoption) + pointer jumping keep convergence O(log V) rounds.
-    MAXI = jnp.iinfo(jnp.int32).max
+    #
+    # The dense volume holds label VALUES < V <= 32768, so it lives in int16
+    # (HALF the shift-pass traffic; min/shift semantics identical). The empty
+    # sentinel is int16 max. V must stay <= 2^15.
+    assert V <= 32768, "dense DCVC labels are int16 (V <= 32768)"
+    MAXI = jnp.iinfo(jnp.int16).max
     label = init_label
 
     def box_min_pass(d3):
         # pitch (axis 0, clamped): empty boundary
-        top = jnp.full((1,) + dense_shape[1:], MAXI, jnp.int32)
+        top = jnp.full((1,) + dense_shape[1:], MAXI, jnp.int16)
         d3 = jnp.minimum(
             d3,
             jnp.minimum(
@@ -233,10 +238,10 @@ def dcvc_segment(
             da,
             jnp.minimum(jnp.roll(da, 1, axis=1), jnp.roll(da, -1, axis=1)),
         )
-        pad = jnp.full((_PITCH_CAP, A - width, _POLAR_CAP), MAXI, jnp.int32)
+        pad = jnp.full((_PITCH_CAP, A - width, _POLAR_CAP), MAXI, jnp.int16)
         d3 = jnp.concatenate([da, pad], axis=1)
         # polar (axis 2, clamped)
-        side = jnp.full(dense_shape[:2] + (1,), MAXI, jnp.int32)
+        side = jnp.full(dense_shape[:2] + (1,), MAXI, jnp.int16)
         d3 = jnp.minimum(
             d3,
             jnp.minimum(
@@ -247,11 +252,11 @@ def dcvc_segment(
         return d3
 
     for _ in range(cc_iters):
-        dense = jnp.full((dense_n,), MAXI, jnp.int32).at[vkey].set(
-            label, mode="drop"
+        dense = jnp.full((dense_n,), MAXI, jnp.int16).at[vkey].set(
+            label.astype(jnp.int16), mode="drop"
         )
         d3 = box_min_pass(dense.reshape(dense_shape))
-        m = d3.reshape(-1)[vkey_safe]  # (V,) box min incl. self
+        m = d3.reshape(-1)[vkey_safe].astype(jnp.int32)  # (V,) box min incl. self
         best = jnp.minimum(jnp.where(in_range, m, MAXI), label)
         # HOOKING (Shiloach-Vishkin): every tree adopts the min label seen by
         # ANY of its members this round — local box-min alone only moves one

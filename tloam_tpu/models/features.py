@@ -115,14 +115,16 @@ def calculate_pca_info_cell(
     cvrs"; neigh_idx/neigh_ok are not provided in this mode (empty)."""
     dtype = cloud.xyz.dtype
     n = cloud.capacity
-    table = voxel.build_cell_table(cloud.xyz, cloud.valid, cfg.radius, max_cells)
-    nbr = voxel.cell_neighbor_index(table)  # (V,27)
+    # Morton-block store: the 27-cell window costs 8 probe rows + 8 record
+    # rows per cell instead of 27 + 27 (see voxel.BlockTable)
+    bt = voxel.build_block_table(cloud.xyz, cloud.valid, cfg.radius, max_cells)
 
     # anchored moments: raw-coordinate E[x^2]-E[x]^2 cancels catastrophically
     # in f32 at map scale — see voxel.anchored_window_moments
-    _, mw = voxel.anchored_window_moments(
-        cloud.xyz, cloud.valid, table, nbr, cfg.radius
+    _, mw, cache = voxel.block_window_moments(
+        cloud.xyz, cloud.valid, bt, cfg.radius
     )
+    rows, found, window = cache
     w_cnt, sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz = mw
     cnt = jnp.maximum(w_cnt, 1.0)
     mx, my, mz = sx / cnt, sy / cnt, sz / cnt
@@ -132,7 +134,6 @@ def calculate_pca_info_cell(
     a11 = myy / cnt - my * my
     a12 = myz / cnt - my * mz
     a22 = mzz / cnt - mz * mz
-    nbr_safe = jnp.maximum(nbr, 0)
 
     lam0, lam1, lam2 = eig3.eigvalsh3_soa(a00, a01, a02, a11, a12, a22)
     nx_, ny_, nz_ = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam0)
@@ -141,26 +142,30 @@ def calculate_pca_info_cell(
     lam_hi = jnp.maximum(lam2, 1e-30)
     c_flat = (lam1 - lam0) / lam_hi
     c_sph = lam0 / lam_hi
-    # neighbor-local-max of cvr at the cell level
-    nbr_cvr = jnp.where(nbr >= 0, c_cvr[nbr_safe], -jnp.inf)
-    c_localmax = jnp.all(c_cvr[:, None] >= nbr_cvr, axis=1)
+    # neighbor-local-max of cvr at the cell level (reuses the probe cache:
+    # 8 row takes instead of a 27-way scalar gather)
+    nbr_max = voxel.block_window_scalar_max(bt, c_cvr, rows, found, window)
+    c_localmax = c_cvr >= nbr_max
 
-    # broadcast cell features to points
-    pc = jnp.maximum(table.point_cell, 0)
-    in_cell = table.point_cell >= 0
-    normal = jnp.stack(
-        [jnp.where(in_cell, nx_[pc], 1.0),
-         jnp.where(in_cell, ny_[pc], 0.0),
-         jnp.where(in_cell, nz_[pc], 0.0)],
-        axis=-1,
+    # broadcast cell features to points: ONE packed 8-lane record gather per
+    # point instead of 5 scalar gathers (rows are what a TPU gather pays for)
+    cell_rec = jnp.stack(
+        [nx_, ny_, nz_, c_cvr, c_flat, c_sph, w_cnt,
+         c_localmax.astype(dtype)],
+        axis=0,
+    )  # (8, V)
+    pc = jnp.maximum(bt.point_cell, 0)
+    in_cell = bt.point_cell >= 0
+    prec = voxel.gather_records(voxel.pack_records(cell_rec, 8), pc, 8, 8)
+    m = in_cell.astype(dtype)[:, None]
+    prec = prec * m
+    normal = jnp.concatenate(
+        [jnp.where(in_cell, prec[:, 0], 1.0)[:, None], prec[:, 1:3]], axis=1
     )
-    cvr = jnp.where(in_cell, c_cvr[pc], 0.0)
-    flat = jnp.where(in_cell, c_flat[pc], 0.0)
-    sph = jnp.where(in_cell, c_sph[pc], 0.0)
-    n_neigh = jnp.where(in_cell, w_cnt[pc].astype(jnp.int32), 0)
+    cvr, flat, sph = prec[:, 3], prec[:, 4], prec[:, 5]
+    n_neigh = prec[:, 6].astype(jnp.int32)
     has_info = cloud.valid & in_cell & (n_neigh > cfg.min_neigh)
-    # store the local-max verdict per point in neigh_ok[:, 0]; neigh_idx empty
-    localmax_pt = jnp.where(in_cell, c_localmax[pc], False)
+    localmax_pt = in_cell & (prec[:, 7] > 0.5)
     return PCAInfo(
         normal, cvr, flat, sph, n_neigh, has_info,
         neigh_idx=jnp.zeros((n, 1), jnp.int32),

@@ -191,18 +191,18 @@ class _SurfCells(NamedTuple):
     """Per-cell precomputed surface geometry over a submap feature cloud.
 
     The submap is constant for the whole GNC solve, so window plane/line
-    fits are computed ONCE here; each iteration's correspondence search
-    reduces to 4 packed hash-table probes per neighbor cell + a nearest-
-    centroid pick (no candidate-point gathers, no per-query eigensolves —
-    the TPU-fast replacement for the reference's per-point SearchHybrid +
-    fitBestPlane per iteration).
+    fits are computed ONCE here; each iteration's correspondence search is
+    8 block probes + 8 block-row record fetches per query — every candidate
+    record lands in registers, so the nearest-centroid pick and the winner's
+    full record need NO further gathers (the TPU-fast replacement for the
+    reference's per-point SearchHybrid + fitBestPlane per iteration).
 
-    surf: per-cell records PACKED 16 lanes wide (voxel.pack_records) so one
-      (1,16) gather fetches a whole record: lanes 0-2 window centroid, 3-5
-      plane normal, 6 plane d, 7-9 line direction, 10 ok_plane, 11 ok_line.
+    surf: (B, 128) Morton-block store (voxel.scatter_cell_records), 8 cell
+      slots x 16 lanes: lanes 0-2 window centroid, 3-5 plane normal, 6 plane
+      d, 7-9 line direction, 10 ok_plane, 11 ok_line, 12 occupied.
     """
 
-    dt: voxel.DirectTable
+    bt: voxel.BlockTable
     surf: jax.Array
     cell_size: jax.Array
 
@@ -217,13 +217,12 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
     from tloam_tpu.models.segmentation import weighted_axis_plane
 
     dtype = cloud.xyz.dtype
-    table = voxel.build_cell_table(cloud.xyz, cloud.valid, cell_size, max_cells)
-    nbr = voxel.cell_neighbor_index(table)  # (V,27)
+    bt = voxel.build_block_table(cloud.xyz, cloud.valid, cell_size, max_cells)
 
     # anchored moments: raw-coordinate E[x^2]-E[x]^2 cancels catastrophically
     # in f32 at map scale — see voxel.anchored_window_moments
-    (anx, any_, anz), mw = voxel.anchored_window_moments(
-        cloud.xyz, cloud.valid, table, nbr, cell_size
+    (anx, any_, anz), mw, _ = voxel.block_window_moments(
+        cloud.xyz, cloud.valid, bt, cell_size
     )
     w_cnt, sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz = mw
     cnt = jnp.maximum(w_cnt, 1.0)
@@ -249,9 +248,9 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
     dirx, diry, dirz = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam2)
 
     precise = 2.0 * jnp.sqrt(jnp.maximum(lam0, 0.0)) <= 0.2
-    ok_plane = table.cell_valid & (w_cnt >= 5) & precise
+    ok_plane = bt.cell_valid & (w_cnt >= 5) & precise
     # edge gates: >=4 pts and lam_max > 3*lam_mid (registration.cpp:445,481)
-    ok_line = table.cell_valid & (w_cnt >= 4) & (lam2 > 3.0 * lam1)
+    ok_line = bt.cell_valid & (w_cnt >= 4) & (lam2 > 3.0 * lam1)
 
     surf = jnp.stack(
         [
@@ -259,58 +258,38 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
             plane[:, 0], plane[:, 1], plane[:, 2], plane[:, 3],
             dirx, diry, dirz,
             ok_plane.astype(dtype), ok_line.astype(dtype),
+            bt.cell_valid.astype(dtype),  # lane 12: occupancy
         ],
-        axis=0,
-    )  # (12, V)
+        axis=1,
+    )  # (V, 13)
     return _SurfCells(
-        dt=table.dt,
-        surf=voxel.pack_records(surf, 16),
+        bt=bt,
+        surf=voxel.scatter_cell_records(bt, surf, 16),
         cell_size=jnp.asarray(cell_size, dtype),
     )
 
 
 def _query_surf_cells(cells: _SurfCells, scan_w: jax.Array, scan_valid: jax.Array):
-    """4 packed table probes per neighbor cell -> the matched cell with the
-    nearest window centroid. Returns data (12, Q) for the best cell per
-    query plus (found (Q,), centroid distance (Q,))."""
-    from tloam_tpu.ops.voxel import (
-        _OFF1, _OFF2, _OFF3, _P1, _P2, _P3, _hash2_parts, direct_lookup,
-    )
-
+    """8 block probes + 8 block-row fetches -> the matched cell with the
+    nearest window centroid, its full record already in registers. Returns
+    data (13, Q) for the best cell per query plus (found (Q,), centroid
+    distance (Q,))."""
     Q = scan_w.shape[0]
     qc = jnp.floor(scan_w / cells.cell_size).astype(jnp.int32)
-    nx = qc[:, 0:1] + _OFF1[None, :]
-    ny = qc[:, 1:2] + _OFF2[None, :]
-    nz = qc[:, 2:3] + _OFF3[None, :]
-    h1 = nx * _P1 + ny * _P2 + nz * _P3
-    h2 = _hash2_parts(nx, ny, nz)
-    found, row = direct_lookup(cells.dt, h1, h2)  # (Q,27)
+    rows, found, _, window = voxel.block_window_probe(
+        cells.bt, qc[:, 0], qc[:, 1], qc[:, 2]
+    )
+    rec = voxel.block_window_records(cells.surf, rows, found)  # (Q,64,16)
 
-    # two-stage packed gather: fetch ONLY the first 4 record lanes (the
-    # centroid) for all 27 candidates, pick the nearest, then fetch the full
-    # 16-lane record for the single winning cell. Each fetch is ONE
-    # contiguous-lane gather row (see voxel.pack_records) — TPU gathers pay
-    # per row, so this beats both the strided (3,·)+(12,·) SoA gathers and a
-    # single-stage 16-lane fetch of all 27 candidates.
-    rowf = jnp.where(found, row, 0).reshape(-1)
-    cen = voxel.gather_records(cells.surf, rowf, 16, 4)  # (Q*27, 4)
-
-    dx = cen[:, 0].reshape(Q, 27) - scan_w[:, 0:1]
-    dy = cen[:, 1].reshape(Q, 27) - scan_w[:, 1:2]
-    dz = cen[:, 2].reshape(Q, 27) - scan_w[:, 2:3]
+    occ = window & (rec[:, :, 12] > 0.5) & scan_valid[:, None]
+    dx = rec[:, :, 0] - scan_w[:, 0:1]
+    dy = rec[:, :, 1] - scan_w[:, 1:2]
+    dz = rec[:, :, 2] - scan_w[:, 2:3]
     dist_sq = dx * dx + dy * dy + dz * dz
     BIG = jnp.asarray(jnp.finfo(scan_w.dtype).max, scan_w.dtype)
-    dist_sq = jnp.where(found & scan_valid[:, None], dist_sq, BIG)
+    dist_sq = jnp.where(occ, dist_sq, BIG)
     best = jnp.argmin(dist_sq, axis=1)  # (Q,)
-    best_row = jnp.take_along_axis(
-        row.reshape(Q, 27), best[:, None], axis=1
-    )[:, 0]
-    best_found = jnp.take_along_axis(
-        found.reshape(Q, 27), best[:, None], axis=1
-    )[:, 0]
-    best_data = voxel.gather_records(
-        cells.surf, jnp.where(best_found, best_row, 0), 16, 12
-    ).T  # (12, Q)
+    best_data = jnp.take_along_axis(rec, best[:, None, None], axis=1)[:, 0, :].T
     best_d = jnp.take_along_axis(dist_sq, best[:, None], axis=1)[:, 0]
     ok = best_d < BIG
     return best_data, ok, jnp.sqrt(jnp.where(ok, best_d, 0.0))

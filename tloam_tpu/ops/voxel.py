@@ -425,6 +425,295 @@ def gather_records(packed: jax.Array, idx: jax.Array, width: int, k: int):
 
 
 # ---------------------------------------------------------------------------
+# Morton-block record store (2x2x2 cell blocks, one 128-lane row per block)
+# ---------------------------------------------------------------------------
+#
+# TPU gathers pay per ROW. A 27-cell (3x3x3) window fetched cell-by-cell
+# costs 27 hash probes + 27 record rows per query. Grouping cells into
+# 2x2x2 BLOCKS (block = cell >> 1) and storing each block's 8 cell records
+# in ONE 128-lane row (8 slots x 16 lanes) covers any 3x3x3 cell window
+# with exactly 8 block rows: per axis the window spans blocks
+# {b + p - 1, b + p} where p = cell & 1 is the query cell's parity. The
+# fetch is 8 probes + 8 row takes = 16 rows/query instead of 54 — and every
+# candidate record is already in registers (no second "winner" gather).
+#
+# Candidate geometry is parity-arithmetic, independent of the query coords:
+# for block choice e in {0,1}^3 and slot s with local bits l in {0,1}^3, the
+# candidate cell offset from the query cell is, per axis,
+#     d = l + p + 2e - 2   in [-2, 2],
+# and the 27-window mask is |d| <= 1 (each in-window cell appears exactly
+# once among the 64 candidates).
+
+# e bits (8,) and slot-local bits (8,) for candidate offset arithmetic
+_EB = tuple(
+    jnp.asarray([(i >> k) & 1 for i in range(8)], jnp.int32) for k in range(3)
+)
+
+
+class BlockTable(NamedTuple):
+    """Cell index + Morton-block addressing over a fixed point buffer.
+
+    cx/cy/cz   : (V,) int32 cell coords (sentinel where unused)
+    cell_valid : (V,)
+    point_cell : (N,) int32 cell row per point (-1 invalid)
+    cell_store : (V,) int32 = block_row * 8 + slot; slot = Morton parity
+                 (cx&1) + 2(cy&1) + 4(cz&1). Store position of each cell.
+    dt         : DirectTable mapping block hash -> block row
+
+    The block capacity B equals max_cells (= cx.shape[0]): every block holds
+    at least one cell, so blocks never outnumber cells.
+    """
+
+    cx: jax.Array
+    cy: jax.Array
+    cz: jax.Array
+    cell_valid: jax.Array
+    point_cell: jax.Array
+    cell_store: jax.Array
+    dt: "DirectTable"
+
+
+def _block_hashes(bx: jax.Array, by: jax.Array, bz: jax.Array):
+    # distinct constants from the cell hashes: a block never aliases a cell
+    h1 = bx * jnp.int32(2654435761 & 0x7FFFFFFF) + by * _P2 + bz * _P3
+    h2 = _hash2_parts(bz, bx, by)
+    return h1, h2
+
+
+def build_block_table(
+    points: jax.Array, valid: jax.Array, cell_size, max_cells: int
+) -> BlockTable:
+    """Cell dedup (as build_cell_table) + block dedup + block-hash table.
+    Block capacity B = max_cells (every block holds >= 1 cell)."""
+    n = points.shape[0]
+    coords = _cell_coords(points, cell_size)
+    coords = jnp.where(valid[:, None], coords, _SENTINEL)
+    pkeys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
+    order_p = jnp.argsort(pkeys)
+    cs_ = coords[order_p]
+    ok_s = valid[order_p]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(cs_[1:] != cs_[:-1], axis=-1)]
+    )
+    seg = jnp.cumsum(first) - 1
+    seg_c = jnp.where(ok_s & (seg < max_cells), seg, max_cells)
+
+    def col(i):
+        out = jnp.full((max_cells + 1,), _SENTINEL, jnp.int32)
+        return out.at[seg_c].set(jnp.where(ok_s, cs_[:, i], _SENTINEL))[:max_cells]
+
+    cx, cy, cz = col(0), col(1), col(2)
+    cell_valid = (
+        jax.ops.segment_sum(
+            ok_s.astype(jnp.int32), seg_c, num_segments=max_cells + 1
+        )[:max_cells]
+        > 0
+    )
+    point_cell = jnp.full((n,), -1, jnp.int32)
+    point_cell = point_cell.at[order_p].set(
+        jnp.where(seg_c < max_cells, seg_c, -1).astype(jnp.int32)
+    )
+
+    # --- block dedup over the (small) cell list ---
+    B = max_cells
+    bx, by, bz = cx >> 1, cy >> 1, cz >> 1
+    bh1, bh2 = _block_hashes(bx, by, bz)
+    bkey = jnp.where(cell_valid, bh1, _SENTINEL)
+    order_c = jnp.argsort(bkey)
+    bxs = jnp.where(cell_valid, bx, _SENTINEL)[order_c]
+    bys = jnp.where(cell_valid, by, _SENTINEL)[order_c]
+    bzs = jnp.where(cell_valid, bz, _SENTINEL)[order_c]
+    okc = cell_valid[order_c]
+    bfirst = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (bxs[1:] != bxs[:-1]) | (bys[1:] != bys[:-1]) | (bzs[1:] != bzs[:-1]),
+        ]
+    )
+    bseg = jnp.cumsum(bfirst) - 1  # block row per sorted cell
+    bseg_c = jnp.where(okc, bseg, B)
+    cell_block = jnp.full((max_cells,), 0, jnp.int32)
+    cell_block = cell_block.at[order_c].set(
+        jnp.minimum(bseg_c, B - 1).astype(jnp.int32)
+    )
+
+    def bcol(a):
+        out = jnp.full((B + 1,), _SENTINEL, jnp.int32)
+        return out.at[bseg_c].set(a)[:B]
+
+    ubx, uby, ubz = bcol(bxs), bcol(bys), bcol(bzs)
+    block_valid = (
+        jax.ops.segment_sum(okc.astype(jnp.int32), bseg_c, num_segments=B + 1)[:B]
+        > 0
+    )
+    uh1, uh2 = _block_hashes(ubx, uby, ubz)
+    dt = build_direct_table(
+        jnp.where(block_valid, uh1, _SENTINEL), uh2, block_valid,
+        jnp.arange(B, dtype=jnp.int32),
+    )
+    slot = (cx & 1) + 2 * (cy & 1) + 4 * (cz & 1)
+    cell_store = cell_block * 8 + jnp.where(cell_valid, slot, 0)
+    return BlockTable(cx, cy, cz, cell_valid, point_cell, cell_store, dt)
+
+
+def block_window_probe(
+    bt: BlockTable, qcx: jax.Array, qcy: jax.Array, qcz: jax.Array
+):
+    """Probe the 8 blocks covering the 3x3x3 cell window of each query cell.
+
+    Returns (rows (Q,8) block row ids, found (Q,8), (dx,dy,dz) (Q,64) int32
+    candidate cell offsets, window (Q,64) bool |d|<=1 mask). Candidate
+    (e, s) lives at flat index e*8 + s."""
+    px, py, pz = qcx & 1, qcy & 1, qcz & 1
+    bx, by, bz = qcx >> 1, qcy >> 1, qcz >> 1
+    ex, ey, ez = _EB
+    nbx = bx[:, None] + ex[None, :] + px[:, None] - 1  # (Q,8)
+    nby = by[:, None] + ey[None, :] + py[:, None] - 1
+    nbz = bz[:, None] + ez[None, :] + pz[:, None] - 1
+    h1, h2 = _block_hashes(nbx, nby, nbz)
+    found, rows = direct_lookup(bt.dt, h1, h2)  # (Q,8)
+
+    lx, ly, lz = _EB  # slot-local bits share the e-bit table
+    # d[q, e, s] = l[s] + p[q] + 2 e[e] - 2, flattened (Q, 64)
+    def dax(l, p, e):
+        return (
+            l[None, None, :] + p[:, None, None] + 2 * e[None, :, None] - 2
+        ).reshape(-1, 64)
+
+    dx = dax(lx, px, ex)
+    dy = dax(ly, py, ey)
+    dz = dax(lz, pz, ez)
+    window = (
+        (jnp.abs(dx) <= 1) & (jnp.abs(dy) <= 1) & (jnp.abs(dz) <= 1)
+        & jnp.repeat(found, 8, axis=1)
+    )
+    return rows, found, (dx, dy, dz), window
+
+
+def block_window_records(
+    store: jax.Array, rows: jax.Array, found: jax.Array
+) -> jax.Array:
+    """Fetch the 8 block rows per query: (Q,8) -> (Q, 64, 16) candidate
+    records (slot-major within block; zeros where the block is absent)."""
+    q = rows.shape[0]
+    r = jnp.take(store, jnp.where(found, rows, 0).reshape(-1), axis=0)
+    r = r.reshape(q, 8, 8, 16) * found[:, :, None, None].astype(store.dtype)
+    return r.reshape(q, 64, 16)
+
+
+def scatter_cell_records(
+    bt: BlockTable, values: jax.Array, width: int = 16
+) -> jax.Array:
+    """Scatter per-cell records (V, k<=width) into the (B, 128) block store
+    (8 slots x width lanes per row)."""
+    V, k = values.shape
+    B = bt.cx.shape[0]
+    vals = jnp.pad(values, ((0, 0), (0, width - k)))
+    tgt = jnp.where(bt.cell_valid, bt.cell_store, B * 8)
+    out = jnp.zeros((B * 8 + 1, width), values.dtype).at[tgt].set(vals)
+    return out[: B * 8].reshape(B, 8 * width)
+
+
+def block_window_moments(
+    xyz: jax.Array,
+    valid: jax.Array,
+    bt: BlockTable,
+    cell_size,
+):
+    """27-cell window moments about each cell's own anchor via the block
+    store — the 8-row replacement for cell_neighbor_index +
+    anchored_window_moments (same anchored parallel-axis math, see
+    anchored_window_moments for the f32 rationale).
+
+    Returns (anchors (3,V), moments (cnt, sx..szz) each (V,), probe cache
+    (rows, found, window mask, d offsets) for reuse by same-window passes)."""
+    dtype = xyz.dtype
+    V = bt.cx.shape[0]
+    cs = jnp.asarray(cell_size, dtype)
+
+    # per-point anchored moments, accumulated straight into store layout
+    coords = _cell_coords(xyz, cell_size)
+    qx = xyz[:, 0] - coords[:, 0].astype(dtype) * cs
+    qy = xyz[:, 1] - coords[:, 1].astype(dtype) * cs
+    qz = xyz[:, 2] - coords[:, 2].astype(dtype) * cs
+    pc = bt.point_cell
+    in_cell = valid & (pc >= 0)
+    m = in_cell.astype(dtype)
+    B = bt.cx.shape[0]
+    seg = jnp.where(in_cell, bt.cell_store[jnp.maximum(pc, 0)], B * 8)
+
+    vals = jnp.stack(
+        [
+            m,
+            qx * m, qy * m, qz * m,
+            qx * qx * m, qx * qy * m, qx * qz * m,
+            qy * qy * m, qy * qz * m, qz * qz * m,
+            jnp.zeros_like(m), jnp.zeros_like(m), jnp.zeros_like(m),
+            jnp.zeros_like(m), jnp.zeros_like(m), jnp.zeros_like(m),
+        ],
+        axis=1,
+    )  # (N, 16)
+    store = jax.ops.segment_sum(vals, seg, num_segments=B * 8 + 1)[: B * 8]
+    store = store.reshape(B, 128)
+
+    rows, found, (dx, dy, dz), window = block_window_probe(
+        bt, bt.cx, bt.cy, bt.cz
+    )
+    rec = block_window_records(store, rows, found)  # (V, 64, 16)
+    has = window.astype(dtype)  # (V, 64)
+
+    Dx = dx.astype(dtype) * cs
+    Dy = dy.astype(dtype) * cs
+    Dz = dz.astype(dtype) * cs
+    n_j = rec[:, :, 0]
+    sx_j, sy_j, sz_j = rec[:, :, 1], rec[:, :, 2], rec[:, :, 3]
+
+    def tot(a):
+        return jnp.sum(a * has, axis=1)
+
+    cnt = tot(n_j)
+    sx = tot(sx_j + n_j * Dx)
+    sy = tot(sy_j + n_j * Dy)
+    sz = tot(sz_j + n_j * Dz)
+    sxx = tot(rec[:, :, 4] + 2.0 * Dx * sx_j + n_j * Dx * Dx)
+    sxy = tot(rec[:, :, 5] + Dx * sy_j + Dy * sx_j + n_j * Dx * Dy)
+    sxz = tot(rec[:, :, 6] + Dx * sz_j + Dz * sx_j + n_j * Dx * Dz)
+    syy = tot(rec[:, :, 7] + 2.0 * Dy * sy_j + n_j * Dy * Dy)
+    syz = tot(rec[:, :, 8] + Dy * sz_j + Dz * sy_j + n_j * Dy * Dz)
+    szz = tot(rec[:, :, 9] + 2.0 * Dz * sz_j + n_j * Dz * Dz)
+
+    anchors = (
+        bt.cx.astype(dtype) * cs,
+        bt.cy.astype(dtype) * cs,
+        bt.cz.astype(dtype) * cs,
+    )
+    cache = (rows, found, window)
+    return anchors, (cnt, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz), cache
+
+
+def block_window_scalar_max(
+    bt: BlockTable,
+    cell_values: jax.Array,
+    rows: jax.Array,
+    found: jax.Array,
+    window: jax.Array,
+) -> jax.Array:
+    """Per-cell max of a scalar over its 27-cell window, reusing a
+    block_window_probe cache — 8 row takes of a (B, 8) slot store (replaces
+    the 27-way scalar gather of the neighbor-index formulation)."""
+    B = bt.cx.shape[0]
+    NEG = jnp.asarray(-jnp.inf, cell_values.dtype)
+    tgt = jnp.where(bt.cell_valid, bt.cell_store, B * 8)
+    slot_store = jnp.full((B * 8 + 1,), NEG, cell_values.dtype).at[tgt].set(
+        jnp.where(bt.cell_valid, cell_values, NEG)
+    )[: B * 8].reshape(B, 8)
+    q = rows.shape[0]
+    r = jnp.take(slot_store, jnp.where(found, rows, 0).reshape(-1), axis=0)
+    r = r.reshape(q, 64)
+    return jnp.max(jnp.where(window, r, NEG), axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Cell tables (unique-voxel indexing for cell-aggregation algorithms)
 # ---------------------------------------------------------------------------
 
