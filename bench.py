@@ -58,7 +58,9 @@ def main(config: str | None = None, overrides=()) -> None:
         xyz, inten = scans[i]
         raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
         state, pose, _ = frontend.odometry_step(state, raw, cfg)
-    jax.block_until_ready(pose)
+    np.asarray(pose)  # fetch, not block_until_ready: the axon relay's
+    # block_until_ready returns before execution finishes; only a data
+    # fetch drains the device queue (measured: sync_probe, round 2)
     warmup_s = time.time() - t_compile
     print(f"warmup (incl. compile): {warmup_s:.1f}s", file=sys.stderr)
 
@@ -69,7 +71,7 @@ def main(config: str | None = None, overrides=()) -> None:
         raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
         state, pose, diag = frontend.odometry_step(state, raw, cfg)
         corr_seen.append(diag.num_corr)
-    jax.block_until_ready(pose)
+    np.asarray(pose)  # real queue drain (see warmup note)
     dt = time.time() - t0
     fps = n_timed / dt
 

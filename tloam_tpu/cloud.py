@@ -217,6 +217,20 @@ class Cloud:
         cap = capacity if capacity is not None else self.capacity
         order = jnp.argsort(~self.valid, stable=True)
         idx = order[..., :cap]
+        if self.normals is None and self.colors is None and self.xyz.ndim == 2:
+            # ONE packed (cap,5) row-take (TPU gathers pay per row)
+            packed = jnp.concatenate(
+                [
+                    self.xyz,
+                    self.intensity[:, None],
+                    self.valid[:, None].astype(self.xyz.dtype),
+                ],
+                axis=1,
+            )
+            out = jnp.take(packed, idx, axis=0)
+            return Cloud(
+                xyz=out[:, :3], intensity=out[:, 3], valid=out[:, 4] > 0.5
+            )
         take1 = lambda a: jnp.take_along_axis(a, idx, axis=-1)
         take3 = lambda a: (
             jnp.take_along_axis(a, idx[..., None], axis=-2) if a is not None else None

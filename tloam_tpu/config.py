@@ -69,6 +69,11 @@ class FeatureConfig:
     # "cell": cell-aggregated 27-neighborhood PCA (TPU-fast default);
     # "exact": per-point hybrid-search kNN PCA (reference-faithful)
     pca_mode: str = "cell"
+    # cell-table capacity for pca_mode="cell": the window probe/fetch work
+    # scales with this, so keep it near the realistic occupied-cell count
+    # (~35k at 0.2 m pitch for a 120k-pt HDL-64E scan; overflow cells lose
+    # their features, they are not mis-assigned)
+    max_cells: int = 49152
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +128,19 @@ class TLSConfig:
     # solve (the reference ASSERTS >=10 features per class and aborts the
     # process, registration.cpp:928-929; we degrade gracefully instead)
     min_total_corr: int = 30
+    # cell_plane match-distance gate, in units of the matched grid's cell
+    # size (1.0 mirrors the knn radius gate; the 27-cell window physically
+    # reaches 1.5 cells). Measured on the 60-frame varied drive: >1 admits
+    # off-cell planes and degrades straight segments — keep 1.0.
+    cell_gate_scale: float = 1.0
+    # coarse-to-fine: iteration 0 matches the GROUND family against a grid
+    # this many times coarser, so sharp-turn frames (motion-model prediction
+    # off by >1 m at range) still find correspondences; later iterations use
+    # the fine grid. 0 disables. Default OFF: on the 60-frame varied drive it
+    # fixes turn-onset frames (f12 step error 71 cm -> 9 cm) but the coarse
+    # iteration-0 costs poison the GNC weight schedule in low-overlap reverse
+    # segments — needs a weight-reset before it can be the default.
+    ground_coarse_scale: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -124,7 +124,7 @@ def calculate_pca_info_cell(
     _, mw, cache = voxel.block_window_moments(
         cloud.xyz, cloud.valid, bt, cfg.radius
     )
-    rows, found, window = cache
+    rows, found, parity = cache
     w_cnt, sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz = mw
     cnt = jnp.maximum(w_cnt, 1.0)
     mx, my, mz = sx / cnt, sy / cnt, sz / cnt
@@ -144,19 +144,19 @@ def calculate_pca_info_cell(
     c_sph = lam0 / lam_hi
     # neighbor-local-max of cvr at the cell level (reuses the probe cache:
     # 8 row takes instead of a 27-way scalar gather)
-    nbr_max = voxel.block_window_scalar_max(bt, c_cvr, rows, found, window)
+    nbr_max = voxel.block_window_scalar_max(bt, c_cvr, rows, found, parity)
     c_localmax = c_cvr >= nbr_max
 
-    # broadcast cell features to points: ONE packed 8-lane record gather per
-    # point instead of 5 scalar gathers (rows are what a TPU gather pays for)
+    # broadcast cell features to points: ONE 8-lane row take per point
+    # instead of 8 scalar gathers (rows are what a TPU gather pays for)
     cell_rec = jnp.stack(
         [nx_, ny_, nz_, c_cvr, c_flat, c_sph, w_cnt,
          c_localmax.astype(dtype)],
-        axis=0,
-    )  # (8, V)
+        axis=1,
+    )  # (V, 8)
     pc = jnp.maximum(bt.point_cell, 0)
     in_cell = bt.point_cell >= 0
-    prec = voxel.gather_records(voxel.pack_records(cell_rec, 8), pc, 8, 8)
+    prec = jnp.take(cell_rec, pc, axis=0)  # (N, 8)
     m = in_cell.astype(dtype)[:, None]
     prec = prec * m
     normal = jnp.concatenate(
@@ -267,7 +267,7 @@ def extract_planar_sphere(
     """Classify + rank planar/sphere features (extractPlanarSphere,
     feature_extract.cpp:131-197). Returns slot masks over the input cloud."""
     if cfg.pca_mode == "cell":
-        pca = calculate_pca_info_cell(cloud, cfg)
+        pca = calculate_pca_info_cell(cloud, cfg, cfg.max_cells)
         local_max = pca.neigh_ok[:, 0]  # precomputed cell-level verdict
     else:
         pca = calculate_pca_info(cloud, cfg, max_per_cell)
@@ -339,13 +339,16 @@ def gather_top(
     rank = jnp.cumsum(sel) - 1
     ok = sel & (rank < capacity)
     slot = jnp.where(ok, rank, capacity)
-    out_xyz = jnp.zeros((capacity + 1, 3), cloud.xyz.dtype).at[slot].set(cloud.xyz)
-    out_int = jnp.zeros((capacity + 1,), cloud.intensity.dtype).at[slot].set(
-        cloud.intensity
+    dtype = cloud.xyz.dtype
+    # ONE packed (N,5) row-scatter — TPU scatter pays per row, not per
+    # element, so [x,y,z,intensity,valid] in one scatter costs a third of
+    # three separate ones
+    vals = jnp.concatenate(
+        [cloud.xyz, cloud.intensity[:, None], ok[:, None].astype(dtype)], axis=1
     )
-    out_valid = jnp.zeros((capacity + 1,), bool).at[slot].set(ok)
+    out = jnp.zeros((capacity + 1, 5), dtype).at[slot].set(vals)
     return Cloud(
-        xyz=out_xyz[:capacity],
-        intensity=out_int[:capacity],
-        valid=out_valid[:capacity],
+        xyz=out[:capacity, :3],
+        intensity=out[:capacity, 3],
+        valid=out[:capacity, 4] > 0.5,
     )

@@ -207,7 +207,9 @@ class _SurfCells(NamedTuple):
     cell_size: jax.Array
 
 
-def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
+def _build_surf_cells(
+    cloud: Cloud, cell_size, max_cells: int, precise_thres: float = 0.2
+) -> _SurfCells:
     """Window (27-cell) moment aggregation -> plane + line fits per cell.
 
     Plane uses the reference's weighted-axis formula (fitBestPlane,
@@ -247,7 +249,7 @@ def _build_surf_cells(cloud: Cloud, cell_size, max_cells: int) -> _SurfCells:
     lam0, lam1, lam2 = eig3.eigvalsh3_soa(a00, a01, a02, a11, a12, a22)
     dirx, diry, dirz = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam2)
 
-    precise = 2.0 * jnp.sqrt(jnp.maximum(lam0, 0.0)) <= 0.2
+    precise = 2.0 * jnp.sqrt(jnp.maximum(lam0, 0.0)) <= precise_thres
     ok_plane = bt.cell_valid & (w_cnt >= 5) & precise
     # edge gates: >=4 pts and lam_max > 3*lam_mid (registration.cpp:445,481)
     ok_line = bt.cell_valid & (w_cnt >= 4) & (lam2 > 3.0 * lam1)
@@ -302,11 +304,17 @@ def _plane_correspondences_cell(
     dist_thres: float,
     maxnum: int,
     axis_name: str | None = None,
+    gate_scale: float = 1.0,
 ):
     data, ok, cen_dist = _query_surf_cells(cells, scan_w, scan_valid)
     nrm = jnp.stack([data[3], data[4], data[5]], axis=-1)
     d = data[6]
-    valid = scan_valid & ok & (data[10] > 0.5) & (cen_dist <= dist_thres)
+    # gate in units of the matched grid's OWN cell size, so a coarse grid
+    # (ground_coarse_scale) gates proportionally wider
+    valid = (
+        scan_valid & ok & (data[10] > 0.5)
+        & (cen_dist <= gate_scale * cells.cell_size)
+    )
     return nrm, d, _cap_first_n(valid, maxnum, axis_name=axis_name)
 
 
@@ -325,7 +333,7 @@ def _edge_correspondences_cell(
         & ok
         & (data[11] > 0.5)
         & (jnp.abs(direction[:, 2]) > cfg.edge_dir_thres)
-        & (cen_dist <= cfg.edge_dist_thres)
+        & (cen_dist <= cfg.cell_gate_scale * cfg.edge_dist_thres)
     )
     a = cen + 0.1 * direction
     b = cen - 0.1 * direction
@@ -452,7 +460,19 @@ def _build_correspondences(
     cfg: TLSConfig,
     gicp_covs: dict | None = None,
     axis_name: str | None = None,
+    it: jax.Array | None = None,
 ) -> _Corr:
+    # coarse-to-fine: iteration 0 matches ground against the coarse grid
+    # (same array shapes — a pure jnp.where pytree select), so a bad motion
+    # prediction at sharp-turn onset still finds correspondences
+    if "ground_coarse" in grids and it is not None:
+        coarse = grids["ground_coarse"]
+        fine = grids["ground"]
+        sel = it == 0
+        ground_grid = jax.tree.map(
+            lambda a, b: jnp.where(sel, a, b), coarse, fine
+        )
+        grids = {**grids, "ground": ground_grid}
     T = se3.exp(xi)
     planar_w = se3.transform(T, scan.planar.xyz)
     ground_w = se3.transform(T, scan.ground.xyz)
@@ -464,10 +484,12 @@ def _build_correspondences(
             pn, pd, pv = _plane_correspondences_cell(
                 grids["planar"], planar_w, scan.planar.valid,
                 cfg.planar_dist_thres, cfg.planar_maxnum, axis_name,
+                cfg.cell_gate_scale,
             )
             gn, gd, gv = _plane_correspondences_cell(
                 grids["ground"], ground_w, scan.ground.valid,
                 cfg.ground_dist_thres, cfg.ground_maxnum, axis_name,
+                cfg.cell_gate_scale,
             )
         else:
             pn, pd, pv = _plane_correspondences(
@@ -737,6 +759,15 @@ def scan_matching(
                 submap.ground, cfg.ground_dist_thres, cells_cap(submap.ground)
             ),
         }
+        if cfg.ground_coarse_scale:
+            # the 0.2 plane-precision gate is tuned for fine windows; a
+            # coarse ground window legitimately spans slope/curb variation
+            grids["ground_coarse"] = _build_surf_cells(
+                submap.ground,
+                cfg.ground_dist_thres * cfg.ground_coarse_scale,
+                cells_cap(submap.ground),
+                precise_thres=0.2 * cfg.ground_coarse_scale,
+            )
     else:
         grids = {
             "edge": voxel.build_hash_grid(
@@ -784,7 +815,7 @@ def scan_matching(
 
     def outer_body(st: _OuterState) -> _OuterState:
         corr = _build_correspondences(
-            st.xi, scan, submap, grids, cfg, gicp_covs, axis_name
+            st.xi, scan, submap, grids, cfg, gicp_covs, axis_name, st.it
         )
 
         # mu initialisation on the first iteration (registration.cpp:1027-1033)

@@ -225,24 +225,40 @@ def ground_remove(
     av_height = jnp.sum(jnp.where(low_ok, low_z, 0.0), axis=1) / cnt  # (12,)
     av_height = jnp.where(jnp.sum(low_ok, axis=1) > 0, av_height, 0.0)
 
+    # Region reductions as MXU matmuls: with only 12 regions, a one-hot
+    # (N,12) mask matmul reads the data in ONE streaming pass instead of an
+    # N-row scatter-add (TPU scatters pay ~1 ms per 131k rows; the matmul is
+    # bandwidth-bound at ~0.05 ms). The one-hot is reused by every reduction
+    # in this function, including the refit loop.
+    region_oh = (region[:, None] == jnp.arange(num_regions)[None, :]).astype(dtype)
+
+    def region_sum(cols: jax.Array) -> jax.Array:
+        """(N,K) per-point values -> (12,K) per-region sums, on the MXU."""
+        return jax.lax.dot_general(
+            region_oh, cols, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+
     seed = sub10 & (xyz[:, 2] < av_height[region] + g.dis)
-    seed_count = jax.ops.segment_sum(
-        seed.astype(jnp.int32), region, num_segments=num_regions
-    )
-    region_ok = seed_count > 3  # <=3 seeds: whole region dropped (:668)
+    cand_m = candidate.astype(dtype)
+    pre = region_sum(
+        jnp.concatenate(
+            [
+                seed[:, None].astype(dtype),
+                cand_m[:, None],
+                xyz * cand_m[:, None],
+            ],
+            axis=1,
+        )
+    )  # (12, 5): [seed_count, cand_count, sum_x, sum_y, sum_z]
+    region_ok = pre[:, 0] > 3  # <=3 seeds: whole region dropped (:668)
 
     # --- iterative plane refinement ---
     # Two-pass centering: accumulate moments of (p - region_anchor) — raw
     # second moments cancel catastrophically in f32 for regions tens of
     # meters from the origin (see ops/voxel.anchored_window_moments).
-    cand_m = candidate.astype(dtype)
-    reg_cnt = jnp.maximum(
-        jax.ops.segment_sum(cand_m, region, num_segments=num_regions), 1.0
-    )
-    anchor = (
-        jax.ops.segment_sum(xyz * cand_m[:, None], region, num_segments=num_regions)
-        / reg_cnt[:, None]
-    )  # (12,3) fixed per-region anchors
+    reg_cnt = jnp.maximum(pre[:, 1], 1.0)
+    anchor = pre[:, 2:5] / reg_cnt[:, None]  # (12,3) fixed per-region anchors
     cxyz = xyz - anchor[region]  # centered coords (small)
 
     feats = jnp.concatenate(
@@ -261,7 +277,7 @@ def ground_remove(
 
     def fit(member):
         m = member.astype(dtype)[:, None]
-        moments = jax.ops.segment_sum(feats * m, region, num_segments=num_regions)
+        moments = region_sum(feats * m)  # MXU, not scatter (see region_sum)
         return weighted_axis_plane(moments)  # (12,4) in centered coords
 
     hom = jnp.concatenate([cxyz, jnp.ones_like(cxyz[:, :1])], axis=1)
@@ -276,9 +292,7 @@ def ground_remove(
         member_last = close
         new_member = jnp.where(i < g.max_iter - 1, member_mid, member_last)
         # freeze regions whose member set collapsed (<=3): keep old members
-        n_new = jax.ops.segment_sum(
-            new_member.astype(jnp.int32), region, num_segments=num_regions
-        )
+        n_new = region_sum(new_member[:, None].astype(dtype))[:, 0]
         keep_old = (n_new <= 3)[region]
         member = jnp.where(keep_old, member, new_member)
         return member, planes

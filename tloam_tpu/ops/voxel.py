@@ -92,10 +92,24 @@ def voxel_downsample(
     # never merges distinct voxels.
     keys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
     order = jnp.argsort(keys)
-    xyz_s = xyz[order]
-    int_s = intensity[order]
-    coords_s = coords[order]
-    valid_s = valid[order]
+    # ONE packed (N,8) row-take instead of four separate gathers (TPU gather
+    # cost is per row): [x,y,z,intensity,cx,cy,cz,valid]. Cell coords are
+    # small integers — exact in f32, so boundary comparison stays exact.
+    dtype = xyz.dtype
+    packed = jnp.concatenate(
+        [
+            xyz,
+            intensity[:, None],
+            coords.astype(dtype),
+            valid[:, None].astype(dtype),
+        ],
+        axis=1,
+    )
+    packed_s = jnp.take(packed, order, axis=0)
+    xyz_s = packed_s[:, :3]
+    int_s = packed_s[:, 3]
+    coords_s = packed_s[:, 4:7]
+    valid_s = packed_s[:, 7] > 0.5
 
     first = jnp.concatenate(
         [
@@ -174,28 +188,39 @@ def build_direct_table(
     bucket = jnp.where(valid, keys & mask, B)  # invalid sorts last
 
     order = jnp.argsort(bucket)
-    b_s = bucket[order]
-    valid_s = valid[order]
+    # ONE packed (V,4) row-take + ONE (V,2) row-scatter (TPU gathers and
+    # scatters pay per row; empty payload lanes read SENTINEL, never hit)
+    packed_in = jnp.stack(
+        [bucket, check, payload, valid.astype(jnp.int32)], axis=1
+    )
+    ps = jnp.take(packed_in, order, axis=0)
+    b_s, check_s, pay_s = ps[:, 0], ps[:, 1], ps[:, 2]
+    valid_s = ps[:, 3] > 0
     idx = jnp.arange(V, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), b_s[1:] != b_s[:-1]])
     start = jax.lax.cummax(jnp.where(first, idx, 0))
     rank = idx - start
     tgt = jnp.where(valid_s & (rank < _BUCKET), b_s * _BUCKET + rank, H)
-    slot_chk = jnp.full((H,), _SENTINEL, jnp.int32).at[tgt].set(
-        check[order], mode="drop"
-    )
-    slot_pay = jnp.zeros((H,), jnp.int32).at[tgt].set(payload[order], mode="drop")
-
-    # pack: interleave (check, payload) per slot -> 8 buckets per 128-lane row
-    packed = jnp.stack([slot_chk, slot_pay], axis=-1).reshape(B // 8, 128)
-    return DirectTable(slots=packed)
+    rec = jnp.stack([check_s, pay_s], axis=1)  # (V,2) (check, payload) pairs
+    slots = jnp.full((H + 1, 2), _SENTINEL, jnp.int32).at[tgt].set(
+        rec, mode="drop"
+    )[:H]
+    # (H,2) row-major == interleaved (check, payload): 8 buckets per 128-lane row
+    return DirectTable(slots=slots.reshape(B // 8, 128))
 
 
 def direct_lookup(
     table: DirectTable, h1: jax.Array, h2: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
     """Vectorized lookup. h1/h2 any shape. Returns (found (bool), payload) —
-    payload 0 where not found. ONE 16-lane gather per query."""
+    payload 0 where not found. ONE 16-lane gather per query.
+
+    The match is evaluated LANE-WISE on the raw (n, 128) rows: a hit is a
+    check-lane (even lane offset) whose value equals the query's check code
+    within the query's 16-lane bucket group; the payload sits one lane to the
+    right, aligned by a single lane roll. Reshaping to (n, 8, 16) instead
+    would give the tensor a 16-wide minor dim that TPU tiling pads to 128
+    lanes — an 8x memory blowup on the hot (V*8)-query probe path."""
     B = table.slots.shape[0] * 8
     mask = B - 1
     shape = h1.shape
@@ -203,15 +228,14 @@ def direct_lookup(
     check = _check_code(h1f, h2.reshape(-1))
     bucket = h1f & mask
     rows = jnp.take(table.slots, bucket >> 3, axis=0)  # (n, 128) row gather
-    grp = rows.reshape(-1, 8, 16)
-    sel = (bucket & 7)[:, None, None] == jnp.arange(8)[None, :, None]
-    rec = jnp.sum(jnp.where(sel, grp, 0), axis=1)  # (n, 16) masked select
-    chk = rec[:, 0::2]  # (n, 8)
-    pay = rec[:, 1::2]
-    hit = chk == check[:, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    is_check_lane = (lane & 1) == 0
+    in_group = (lane >> 4) == (bucket & 7)[:, None]
+    # duplicate keys are never inserted, so at most one lane hits
+    hit = (rows == check[:, None]) & is_check_lane & in_group
     found = jnp.any(hit, axis=-1)
-    # duplicate keys are never inserted, so at most one slot hits
-    payv = jnp.sum(jnp.where(hit, pay, 0), axis=-1)
+    pay_aligned = jnp.roll(rows, shift=-1, axis=-1)  # payload onto its check lane
+    payv = jnp.sum(jnp.where(hit, pay_aligned, 0), axis=-1)
     return found.reshape(shape), payv.reshape(shape)
 
 
@@ -247,8 +271,9 @@ def build_hash_grid(points: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
     # so no secondary ordering is needed (TPU sorts are expensive — one pass,
     # not a 4-pass lexsort).
     order = jnp.argsort(keys)
-    keys_s = keys[order]
-    keys2_s = keys2[order]
+    # ONE packed (M,2) row-take for both sorted keys (per-row gather costs)
+    ks = jnp.take(jnp.stack([keys, keys2], axis=1), order, axis=0)
+    keys_s, keys2_s = ks[:, 0], ks[:, 1]
 
     # cell runs: start positions + counts, addressed by the direct table
     run_first = jnp.concatenate(
@@ -258,12 +283,20 @@ def build_hash_grid(points: jax.Array, valid: jax.Array, cell_size) -> HashGrid:
     cell_id_c = jnp.where(keys_s != _SENTINEL, cell_id, M)
     pos = jnp.arange(M, dtype=jnp.int32)
     tgt = jnp.where(run_first, cell_id, M)
-    starts = jnp.zeros((M,), jnp.int32).at[tgt].set(pos, mode="drop")
+    # ONE packed (M,3) row-scatter for (start, key, key2)
+    crec = jnp.full((M + 1, 3), _SENTINEL, jnp.int32).at[tgt].set(
+        jnp.stack([pos, keys_s, keys2_s], axis=1), mode="drop"
+    )[:M]
+    # unused rows are exactly those with a SENTINEL key lane (run_first
+    # implies keys_s != SENTINEL, and pos/keys2 lanes must not be gated on
+    # their own values — keys2 may legitimately equal any int32)
+    unused = crec[:, 1] == _SENTINEL
+    starts = jnp.where(unused, 0, crec[:, 0])
+    cell_key = crec[:, 1]
+    cell_key2 = jnp.where(unused, 0, crec[:, 2])
     counts = jax.ops.segment_sum(
         jnp.ones((M,), jnp.int32), cell_id_c, num_segments=M + 1
     )[:M]
-    cell_key = jnp.full((M,), _SENTINEL, jnp.int32).at[tgt].set(keys_s, mode="drop")
-    cell_key2 = jnp.zeros((M,), jnp.int32).at[tgt].set(keys2_s, mode="drop")
     # pack (start, count) into one int32 payload: start << 8 | min(count,
     # 255); start < 2^23 for any realistic buffer, count is clamped to
     # max_per_cell (<=255) by every consumer anyway
@@ -490,25 +523,27 @@ def build_block_table(
     coords = jnp.where(valid[:, None], coords, _SENTINEL)
     pkeys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
     order_p = jnp.argsort(pkeys)
-    cs_ = coords[order_p]
-    ok_s = valid[order_p]
+    # packed (N,4) take + (N,4) cell-row scatter (per-row costs — see
+    # build_direct_table); all same-cell writers carry identical rows, so
+    # scatter-set write races are benign
+    ps = jnp.take(
+        jnp.concatenate([coords, valid[:, None].astype(jnp.int32)], axis=1),
+        order_p,
+        axis=0,
+    )
+    cs_ = ps[:, :3]
+    ok_s = ps[:, 3] > 0
     first = jnp.concatenate(
         [jnp.ones((1,), bool), jnp.any(cs_[1:] != cs_[:-1], axis=-1)]
     )
     seg = jnp.cumsum(first) - 1
     seg_c = jnp.where(ok_s & (seg < max_cells), seg, max_cells)
 
-    def col(i):
-        out = jnp.full((max_cells + 1,), _SENTINEL, jnp.int32)
-        return out.at[seg_c].set(jnp.where(ok_s, cs_[:, i], _SENTINEL))[:max_cells]
-
-    cx, cy, cz = col(0), col(1), col(2)
-    cell_valid = (
-        jax.ops.segment_sum(
-            ok_s.astype(jnp.int32), seg_c, num_segments=max_cells + 1
-        )[:max_cells]
-        > 0
-    )
+    cell_rows = jnp.full((max_cells + 1, 4), _SENTINEL, jnp.int32).at[seg_c].set(
+        jnp.where(ok_s[:, None], ps, _SENTINEL)
+    )[:max_cells]
+    cx, cy, cz = cell_rows[:, 0], cell_rows[:, 1], cell_rows[:, 2]
+    cell_valid = cell_rows[:, 3] == 1
     point_cell = jnp.full((n,), -1, jnp.int32)
     point_cell = point_cell.at[order_p].set(
         jnp.where(seg_c < max_cells, seg_c, -1).astype(jnp.int32)
@@ -520,10 +555,21 @@ def build_block_table(
     bh1, bh2 = _block_hashes(bx, by, bz)
     bkey = jnp.where(cell_valid, bh1, _SENTINEL)
     order_c = jnp.argsort(bkey)
-    bxs = jnp.where(cell_valid, bx, _SENTINEL)[order_c]
-    bys = jnp.where(cell_valid, by, _SENTINEL)[order_c]
-    bzs = jnp.where(cell_valid, bz, _SENTINEL)[order_c]
-    okc = cell_valid[order_c]
+    bs = jnp.take(
+        jnp.stack(
+            [
+                jnp.where(cell_valid, bx, _SENTINEL),
+                jnp.where(cell_valid, by, _SENTINEL),
+                jnp.where(cell_valid, bz, _SENTINEL),
+                cell_valid.astype(jnp.int32),
+            ],
+            axis=1,
+        ),
+        order_c,
+        axis=0,
+    )
+    bxs, bys, bzs = bs[:, 0], bs[:, 1], bs[:, 2]
+    okc = bs[:, 3] > 0
     bfirst = jnp.concatenate(
         [
             jnp.ones((1,), bool),
@@ -537,15 +583,11 @@ def build_block_table(
         jnp.minimum(bseg_c, B - 1).astype(jnp.int32)
     )
 
-    def bcol(a):
-        out = jnp.full((B + 1,), _SENTINEL, jnp.int32)
-        return out.at[bseg_c].set(a)[:B]
-
-    ubx, uby, ubz = bcol(bxs), bcol(bys), bcol(bzs)
-    block_valid = (
-        jax.ops.segment_sum(okc.astype(jnp.int32), bseg_c, num_segments=B + 1)[:B]
-        > 0
-    )
+    block_rows = jnp.full((B + 1, 4), _SENTINEL, jnp.int32).at[bseg_c].set(
+        jnp.where(okc[:, None], bs, _SENTINEL)
+    )[:B]
+    ubx, uby, ubz = block_rows[:, 0], block_rows[:, 1], block_rows[:, 2]
+    block_valid = block_rows[:, 3] == 1
     uh1, uh2 = _block_hashes(ubx, uby, ubz)
     dt = build_direct_table(
         jnp.where(block_valid, uh1, _SENTINEL), uh2, block_valid,
@@ -554,6 +596,24 @@ def build_block_table(
     slot = (cx & 1) + 2 * (cy & 1) + 4 * (cz & 1)
     cell_store = cell_block * 8 + jnp.where(cell_valid, slot, 0)
     return BlockTable(cx, cy, cz, cell_valid, point_cell, cell_store, dt)
+
+
+def block_window_probe_rows(
+    bt: BlockTable, qcx: jax.Array, qcy: jax.Array, qcz: jax.Array
+):
+    """Probe-only variant of block_window_probe: (rows (Q,8), found (Q,8)).
+    The per-candidate offset/window tensors are skipped — callers that fold
+    the window geometry into constant coefficient tables (the matmul window
+    aggregation below) never need them materialized."""
+    px, py, pz = qcx & 1, qcy & 1, qcz & 1
+    bx, by, bz = qcx >> 1, qcy >> 1, qcz >> 1
+    ex, ey, ez = _EB
+    nbx = bx[:, None] + ex[None, :] + px[:, None] - 1  # (Q,8)
+    nby = by[:, None] + ey[None, :] + py[:, None] - 1
+    nbz = bz[:, None] + ez[None, :] + pz[:, None] - 1
+    h1, h2 = _block_hashes(nbx, nby, nbz)
+    found, rows = direct_lookup(bt.dt, h1, h2)  # (Q,8)
+    return rows, found
 
 
 def block_window_probe(
@@ -565,13 +625,8 @@ def block_window_probe(
     candidate cell offsets, window (Q,64) bool |d|<=1 mask). Candidate
     (e, s) lives at flat index e*8 + s."""
     px, py, pz = qcx & 1, qcy & 1, qcz & 1
-    bx, by, bz = qcx >> 1, qcy >> 1, qcz >> 1
+    rows, found = block_window_probe_rows(bt, qcx, qcy, qcz)
     ex, ey, ez = _EB
-    nbx = bx[:, None] + ex[None, :] + px[:, None] - 1  # (Q,8)
-    nby = by[:, None] + ey[None, :] + py[:, None] - 1
-    nbz = bz[:, None] + ez[None, :] + pz[:, None] - 1
-    h1, h2 = _block_hashes(nbx, nby, nbz)
-    found, rows = direct_lookup(bt.dt, h1, h2)  # (Q,8)
 
     lx, ly, lz = _EB  # slot-local bits share the e-bit table
     # d[q, e, s] = l[s] + p[q] + 2 e[e] - 2, flattened (Q, 64)
@@ -614,6 +669,55 @@ def scatter_cell_records(
     return out[: B * 8].reshape(B, 8 * width)
 
 
+def _window_coeff_tables():
+    """Constant integer tables for the matmul window aggregation.
+
+    The 27-cell window moments of query cell i are LINEAR in the fetched
+    block records: out[i, stat] = sum_L rec_flat[i, L] * M[p(i)][L, stat]
+    with lane L = e*128 + s*16 + f (block choice e, slot s, field f) and
+    p(i) the query cell's 3-bit parity. The parallel-axis shift coefficients
+    are polynomials in cell_size: M = W0 + cs*W1 + cs^2*W2 with integer
+    W0/W1/W2 — built once here, so the whole 64-candidate aggregation is a
+    single (V, 1024) @ (1024, 80) MXU matmul + an 8-way parity select,
+    instead of materializing (V, 64, 16) record tensors whose 16-lane minor
+    dim TPU tiling pads 8x.
+
+    Also returns WMAX (8, 64) float window masks (candidate c = e*8 + s)
+    for max-style window passes."""
+    W0 = np.zeros((8, 8, 8, 16, 10), np.float64)  # [p, e, s, f, stat]
+    W1 = np.zeros_like(W0)
+    W2 = np.zeros_like(W0)
+    WMAX = np.zeros((8, 8, 8), np.float64)  # [p, e, s]
+    for p in range(8):
+        px, py, pz = p & 1, (p >> 1) & 1, (p >> 2) & 1
+        for e in range(8):
+            exb, eyb, ezb = e & 1, (e >> 1) & 1, (e >> 2) & 1
+            for s in range(8):
+                lx, ly, lz = s & 1, (s >> 1) & 1, (s >> 2) & 1
+                dx = lx + px + 2 * exb - 2
+                dy = ly + py + 2 * eyb - 2
+                dz = lz + pz + 2 * ezb - 2
+                if abs(dx) > 1 or abs(dy) > 1 or abs(dz) > 1:
+                    continue
+                WMAX[p, e, s] = 1.0
+                c = (p, e, s)
+                W0[c][0, 0] = 1
+                W0[c][1, 1] = 1; W1[c][0, 1] = dx
+                W0[c][2, 2] = 1; W1[c][0, 2] = dy
+                W0[c][3, 3] = 1; W1[c][0, 3] = dz
+                W0[c][4, 4] = 1; W1[c][1, 4] = 2 * dx; W2[c][0, 4] = dx * dx
+                W0[c][5, 5] = 1; W1[c][2, 5] = dx; W1[c][1, 5] = dy; W2[c][0, 5] = dx * dy
+                W0[c][6, 6] = 1; W1[c][3, 6] = dx; W1[c][1, 6] = dz; W2[c][0, 6] = dx * dz
+                W0[c][7, 7] = 1; W1[c][2, 7] = 2 * dy; W2[c][0, 7] = dy * dy
+                W0[c][8, 8] = 1; W1[c][3, 8] = dy; W1[c][2, 8] = dz; W2[c][0, 8] = dy * dz
+                W0[c][9, 9] = 1; W1[c][3, 9] = 2 * dz; W2[c][0, 9] = dz * dz
+    rs = lambda W: W.reshape(8, 1024, 10)
+    return rs(W0), rs(W1), rs(W2), WMAX.reshape(8, 64)
+
+
+_W0, _W1, _W2, _WMAX = _window_coeff_tables()
+
+
 def block_window_moments(
     xyz: jax.Array,
     valid: jax.Array,
@@ -621,12 +725,16 @@ def block_window_moments(
     cell_size,
 ):
     """27-cell window moments about each cell's own anchor via the block
-    store — the 8-row replacement for cell_neighbor_index +
-    anchored_window_moments (same anchored parallel-axis math, see
-    anchored_window_moments for the f32 rationale).
+    store (same anchored parallel-axis math as anchored_window_moments —
+    see there for the f32 rationale).
+
+    The aggregation over the 64 window candidates is ONE MXU matmul against
+    a constant parity-indexed coefficient matrix (see _window_coeff_tables):
+    the fetched (V*8, 128) block rows are used in their natural layout, so
+    nothing with a sub-128 minor dim is ever materialized.
 
     Returns (anchors (3,V), moments (cnt, sx..szz) each (V,), probe cache
-    (rows, found, window mask, d offsets) for reuse by same-window passes)."""
+    (rows, found, parity) for reuse by same-window passes)."""
     dtype = xyz.dtype
     V = bt.cx.shape[0]
     cs = jnp.asarray(cell_size, dtype)
@@ -656,39 +764,34 @@ def block_window_moments(
     store = jax.ops.segment_sum(vals, seg, num_segments=B * 8 + 1)[: B * 8]
     store = store.reshape(B, 128)
 
-    rows, found, (dx, dy, dz), window = block_window_probe(
-        bt, bt.cx, bt.cy, bt.cz
-    )
-    rec = block_window_records(store, rows, found)  # (V, 64, 16)
-    has = window.astype(dtype)  # (V, 64)
+    rows, found = block_window_probe_rows(bt, bt.cx, bt.cy, bt.cz)
+    r = jnp.take(store, jnp.where(found, rows, 0).reshape(-1), axis=0)
+    r = r * found.reshape(-1, 1).astype(dtype)  # zero absent blocks
+    rec_flat = r.reshape(V, 1024)  # lane L = e*128 + s*16 + f
 
-    Dx = dx.astype(dtype) * cs
-    Dy = dy.astype(dtype) * cs
-    Dz = dz.astype(dtype) * cs
-    n_j = rec[:, :, 0]
-    sx_j, sy_j, sz_j = rec[:, :, 1], rec[:, :, 2], rec[:, :, 3]
+    M = (
+        jnp.asarray(_W0, dtype)
+        + cs * jnp.asarray(_W1, dtype)
+        + (cs * cs) * jnp.asarray(_W2, dtype)
+    )  # (8, 1024, 10)
+    Mflat = jnp.transpose(M, (1, 0, 2)).reshape(1024, 80)
+    big = rec_flat @ Mflat  # (V, 80) — the whole window aggregation on MXU
 
-    def tot(a):
-        return jnp.sum(a * has, axis=1)
-
-    cnt = tot(n_j)
-    sx = tot(sx_j + n_j * Dx)
-    sy = tot(sy_j + n_j * Dy)
-    sz = tot(sz_j + n_j * Dz)
-    sxx = tot(rec[:, :, 4] + 2.0 * Dx * sx_j + n_j * Dx * Dx)
-    sxy = tot(rec[:, :, 5] + Dx * sy_j + Dy * sx_j + n_j * Dx * Dy)
-    sxz = tot(rec[:, :, 6] + Dx * sz_j + Dz * sx_j + n_j * Dx * Dz)
-    syy = tot(rec[:, :, 7] + 2.0 * Dy * sy_j + n_j * Dy * Dy)
-    syz = tot(rec[:, :, 8] + Dy * sz_j + Dz * sy_j + n_j * Dy * Dz)
-    szz = tot(rec[:, :, 9] + 2.0 * Dz * sz_j + n_j * Dz * Dz)
+    parity = (bt.cx & 1) + 2 * (bt.cy & 1) + 4 * (bt.cz & 1)  # (V,)
+    out = jnp.zeros((V, 10), dtype)
+    for p in range(8):
+        out = out + jnp.where(
+            (parity == p)[:, None], big[:, p * 10 : (p + 1) * 10], 0.0
+        )
 
     anchors = (
         bt.cx.astype(dtype) * cs,
         bt.cy.astype(dtype) * cs,
         bt.cz.astype(dtype) * cs,
     )
-    cache = (rows, found, window)
-    return anchors, (cnt, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz), cache
+    cache = (rows, found, parity)
+    moments = tuple(out[:, i] for i in range(10))
+    return anchors, moments, cache
 
 
 def block_window_scalar_max(
@@ -696,21 +799,34 @@ def block_window_scalar_max(
     cell_values: jax.Array,
     rows: jax.Array,
     found: jax.Array,
-    window: jax.Array,
+    parity: jax.Array,
 ) -> jax.Array:
     """Per-cell max of a scalar over its 27-cell window, reusing a
-    block_window_probe cache — 8 row takes of a (B, 8) slot store (replaces
-    the 27-way scalar gather of the neighbor-index formulation)."""
+    block_window_moments probe cache. The per-slot values live at lanes
+    [0, 8) of a (B, 128) block-row store; the fetched (V*8, 128) rows are
+    sliced to (V, 64) candidates and reduced under the constant parity
+    window masks — no sub-128-minor-dim tensor is materialized at fetch."""
     B = bt.cx.shape[0]
-    NEG = jnp.asarray(-jnp.inf, cell_values.dtype)
-    tgt = jnp.where(bt.cell_valid, bt.cell_store, B * 8)
-    slot_store = jnp.full((B * 8 + 1,), NEG, cell_values.dtype).at[tgt].set(
-        jnp.where(bt.cell_valid, cell_values, NEG)
-    )[: B * 8].reshape(B, 8)
-    q = rows.shape[0]
-    r = jnp.take(slot_store, jnp.where(found, rows, 0).reshape(-1), axis=0)
-    r = r.reshape(q, 64)
-    return jnp.max(jnp.where(window, r, NEG), axis=1)
+    dtype = cell_values.dtype
+    NEG = jnp.asarray(jnp.finfo(dtype).min, dtype)
+    # value of cell (block b, slot s) at flat lane b*128 + s
+    flat_tgt = jnp.where(
+        bt.cell_valid,
+        (bt.cell_store >> 3) * 128 + (bt.cell_store & 7),
+        B * 128,
+    )
+    store = jnp.full((B * 128 + 1,), NEG, dtype).at[flat_tgt].set(
+        jnp.where(bt.cell_valid, cell_values, NEG), mode="drop"
+    )[: B * 128].reshape(B, 128)
+    V = rows.shape[0]
+    r = jnp.take(store, jnp.where(found, rows, 0).reshape(-1), axis=0)
+    r = jnp.where(found.reshape(-1, 1), r[:, :8], NEG).reshape(V, 64)
+    best = jnp.full((V,), NEG, dtype)
+    for p in range(8):
+        mask = jnp.asarray(_WMAX[p] > 0.5)
+        m_p = jnp.max(jnp.where(mask[None, :], r, NEG), axis=-1)
+        best = jnp.where(parity == p, m_p, best)
+    return best
 
 
 # ---------------------------------------------------------------------------

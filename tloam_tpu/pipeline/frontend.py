@@ -69,6 +69,10 @@ class PipelineConfig:
     # per-frame submap-class feature capacities (planar/sphere window frames)
     frame_planar_cap: int = 4096
     frame_sphere_cap: int = 1024
+    # compaction capacity for the general (non-ground, non-edge) cloud before
+    # PCA/feature selection; 0 disables. Overflow drops the tail (valid
+    # points past the cap) — size generously above the observed ~35k.
+    general_cap: int = 65536
 
 
 class ScanFeatures(NamedTuple):
@@ -131,6 +135,12 @@ def preprocess_frame(raw: Cloud, cfg: PipelineConfig) -> ScanFeatures:
     )
     edge_cloud = clusters.segmented.mask(edges.edge_mask)
     general_cloud = clusters.segmented.mask(edges.general_mask)
+    # Compact the general cloud before PCA + feature picks: only ~25-35% of
+    # raw capacity survives ground/cluster/edge filtering, and every
+    # downstream per-point scatter/gather pays per ROW at full capacity
+    # (~1 ms per 131k rows on TPU). One packed compaction halves the rest.
+    if cfg.general_cap and cfg.general_cap < general_cloud.capacity:
+        general_cloud = general_cloud.compact(cfg.general_cap)
 
     sel = features.extract_planar_sphere(
         general_cloud, cfg.feature, sphere_index_bug=cfg.sphere_index_bug
