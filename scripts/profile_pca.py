@@ -17,11 +17,17 @@ from tloam_tpu.utils import synthetic
 
 
 def timeit(name, fn, variants, n=24, prev=[0.0]):
+    def _sync(o):
+        # np fetch of one scalar: the device queue executes in dispatch order,
+        # so fetching from the LAST output waits for everything (the axon
+        # relay's block_until_ready returns early - measured round 2)
+        leaf = [l for l in jax.tree_util.tree_leaves(o) if hasattr(l, 'ravel')][-1]
+        np.asarray(leaf).ravel()[:1]
     outs = [fn(*variants[i % len(variants)]) for i in range(2)]
-    jax.block_until_ready(outs)
+    _sync(outs[-1])
     t0 = time.time()
     outs = [fn(*variants[i % len(variants)]) for i in range(n)]
-    jax.block_until_ready(outs)
+    _sync(outs[-1])
     dt = (time.time() - t0) / n
     print(f"{name:40s} {dt*1e3:9.2f} ms  (delta {1e3*(dt-prev[0]):+8.2f})",
           flush=True)

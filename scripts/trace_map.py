@@ -21,9 +21,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--outdir", default="/tmp/tloam_trace2")
+    ap.add_argument("--outdir", default=None)
     ap.add_argument("--frames", type=int, default=3)
     args = ap.parse_args()
+    if args.outdir is None:
+        import tempfile
+        args.outdir = tempfile.mkdtemp(prefix="tloam_trace_")
 
     import jax
     import jax.numpy as jnp

@@ -205,3 +205,93 @@ def test_gather_top(rng):
     got = np.sort(np.asarray(out.xyz)[np.asarray(out.valid)][:, 0])
     want = np.sort(xyz[np.arange(100) % 2 == 0][-16:][:, 0])
     assert np.allclose(got, want)
+
+
+def test_dcvc_matches_numpy_union_find(rng):
+    """CC exactness: the hooking/jumping rounds must produce the SAME
+    partition as an exact union-find over the 26-connected curved-voxel
+    graph (with the reference's symmetrized azimuth wrap), on a realistic
+    multi-object scene — guards the cc_iters/dense_passes budget."""
+    from tloam_tpu.config import DCVCConfig
+
+    # several elongated structures (walls spanning many azimuth bins) +
+    # compact blobs + noise, far enough apart to be distinct clusters
+    pts = []
+    for k in range(4):  # four long arcs at different ranges/heights
+        th = np.linspace(0.3 + 1.4 * k, 1.5 + 1.4 * k, 700)
+        r = 8.0 + 3.0 * k + rng.normal(size=700) * 0.05
+        z = 0.4 * k + rng.normal(size=700) * 0.05
+        pts.append(np.stack([r * np.cos(th), r * np.sin(th), z], -1))
+    for k in range(5):  # compact blobs
+        c = np.array([6.0 + 2 * k, -4.0 - 2 * k, 0.5 * k])
+        pts.append(rng.normal(size=(250, 3)) * 0.25 + c)
+    pts.append(rng.uniform(-25, 25, size=(60, 3)))  # sparse noise
+    xyz = np.concatenate(pts)
+    cloud = Cloud.from_numpy(xyz, capacity=8192)
+    cfg = DCVCConfig()
+
+    coords, ok = jax.jit(
+        lambda c: dcvc.curved_voxel_coords(c, cfg, SENSOR)
+    )(cloud)
+    coords = np.asarray(coords)
+    ok = np.asarray(ok)
+    res = jax.jit(
+        lambda c: dcvc.dcvc_segment(c, cfg, SENSOR, max_voxels=8192,
+                                    max_clusters=64)
+    )(cloud)
+    labels = np.asarray(res.labels)
+
+    # exact union-find over occupied IN-RANGE voxels (the implementation
+    # clusters on a dense grid bounded by (azim, polar, pitch) caps; voxels
+    # beyond the caps are dropped from clustering on both sides)
+    width = int(round(360.0 / cfg.delta_a)) + 1
+    A = width + 1
+    occ = {}
+    for i in np.flatnonzero(ok):
+        a, p, h = coords[i]
+        if not (0 <= a < A and 0 <= p < dcvc._POLAR_CAP and 0 <= h < dcvc._PITCH_CAP):
+            continue
+        occ.setdefault(tuple(coords[i]), []).append(i)
+    keys = list(occ)
+    parent = {k: k for k in keys}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    kset = set(keys)
+    for (a, p, h) in keys:
+        for da in (-1, 0, 1):
+            for dp in (-1, 0, 1):
+                for dh in (-1, 0, 1):
+                    na = a + da
+                    # reference azimuth clamp quirk, symmetrized to a wrap
+                    # over the `width` real columns (see dcvc.py)
+                    na = na % width
+                    nb = (na, p + dp, h + dh)
+                    if nb in kset:
+                        union((a, p, h), nb)
+
+    # group points by union-find root; keep clusters with > min_seg points
+    groups = {}
+    for k in keys:
+        groups.setdefault(find(k), []).extend(occ[k])
+    kept = [set(v) for v in groups.values() if len(v) > cfg.min_seg]
+
+    # our labeling must induce exactly the same partition
+    ours = {}
+    for i, l in enumerate(labels):
+        if l > 0:
+            ours.setdefault(l, set()).add(i)
+    our_sets = list(ours.values())
+    assert len(our_sets) == len(kept), (len(our_sets), len(kept))
+    kept_frozen = {frozenset(s) for s in kept}
+    for s in our_sets:
+        assert frozenset(s) in kept_frozen

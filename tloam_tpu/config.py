@@ -70,10 +70,12 @@ class FeatureConfig:
     # "exact": per-point hybrid-search kNN PCA (reference-faithful)
     pca_mode: str = "cell"
     # cell-table capacity for pca_mode="cell": the window probe/fetch work
-    # scales with this, so keep it near the realistic occupied-cell count
-    # (~35k at 0.2 m pitch for a 120k-pt HDL-64E scan; overflow cells lose
-    # their features, they are not mis-assigned)
-    max_cells: int = 49152
+    # scales with this, so keep it near the realistic occupied-cell count.
+    # Urban HDL-64E object clouds occupy only ~3-4k cells at 0.2 m pitch
+    # (wall sampling is much denser than the cell pitch; measured on 117k-pt
+    # scans) — 16384 is ~4x headroom. Overflow cells lose their features,
+    # they are never mis-assigned.
+    max_cells: int = 16384
 
 
 @dataclasses.dataclass(frozen=True)

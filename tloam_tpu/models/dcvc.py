@@ -123,8 +123,12 @@ def _voxelize(coords: jax.Array, ok: jax.Array, max_voxels: int):
     c = jnp.where(ok[:, None], coords, _SENT)
     pkeys = jnp.where(ok, _hash3(c), _SENT)
     order = jnp.argsort(pkeys)  # single-pass; boundaries below use exact coords
-    cs = c[order]
-    ok_s = ok[order]
+    # packed (N,4) row-take + (N,4) row-scatter (TPU pays per row)
+    ps = jnp.take(
+        jnp.concatenate([c, ok[:, None].astype(jnp.int32)], axis=1), order, axis=0
+    )
+    cs = ps[:, :3]
+    ok_s = ps[:, 3] > 0
     first = jnp.concatenate(
         [jnp.ones((1,), bool), jnp.any(cs[1:] != cs[:-1], axis=-1)]
     )
@@ -132,13 +136,11 @@ def _voxelize(coords: jax.Array, ok: jax.Array, max_voxels: int):
     seg = jnp.where(ok_s, seg, max_voxels)  # invalid -> overflow bucket
     seg_c = jnp.minimum(seg, max_voxels)
 
-    vox_coords = jnp.full((max_voxels + 1, 3), _SENT, jnp.int32)
-    vox_coords = vox_coords.at[seg_c].set(jnp.where(ok_s[:, None], cs, _SENT))
-    vox_valid = (
-        jax.ops.segment_sum(ok_s.astype(jnp.int32), seg_c, num_segments=max_voxels + 1)
-        > 0
+    vox_rows = jnp.full((max_voxels + 1, 4), _SENT, jnp.int32).at[seg_c].set(
+        jnp.where(ok_s[:, None], ps, _SENT)
     )[:max_voxels]
-    vox_coords = vox_coords[:max_voxels]
+    vox_coords = vox_rows[:, :3]
+    vox_valid = vox_rows[:, 3] == 1
 
     point_vox = jnp.full((n,), -1, jnp.int32)
     point_vox = point_vox.at[order].set(
@@ -161,7 +163,8 @@ def dcvc_segment(
     sensor: SensorConfig,
     max_voxels: int = 16384,
     max_clusters: int = 128,
-    cc_iters: int = 12,
+    cc_iters: int = 8,
+    dense_passes: int = 2,
 ) -> DCVCResult:
     """Cluster the non-ground cloud into objects (reference objectSegmentation,
     segmentation.cpp:1085-1112)."""
@@ -251,24 +254,40 @@ def dcvc_segment(
         )
         return d3
 
+    # Sparse ops (scatter/gather over V rows) dominate a round at ~0.2 ms
+    # each; the dense shift-min pass is ~0.1 ms. Running `dense_passes` dense
+    # passes per scatter extends the local reach to Chebyshev distance
+    # `dense_passes` for one sparse round's price — with hooking's tree-wide
+    # min adoption, 8 rounds x reach 2 covers everything 12 x reach 1 did
+    # (exactness vs a numpy union-find asserted in tests).
+    #
+    # CAVEAT: a multi-pass box-min smears labels THROUGH empty cells
+    # (reach-2 via an unoccupied middle cell would over-merge) — re-masking
+    # with the occupancy volume between passes keeps propagation on real
+    # 26-adjacency only.
+    occ = jnp.zeros((dense_n,), bool).at[vkey].set(in_range, mode="drop")
+    occ3 = occ.reshape(dense_shape)
     for _ in range(cc_iters):
         dense = jnp.full((dense_n,), MAXI, jnp.int16).at[vkey].set(
             label.astype(jnp.int16), mode="drop"
         )
-        d3 = box_min_pass(dense.reshape(dense_shape))
+        d3 = dense.reshape(dense_shape)
+        for p in range(dense_passes):
+            d3 = box_min_pass(d3)
+            if p + 1 < dense_passes:
+                d3 = jnp.where(occ3, d3, MAXI)
         m = d3.reshape(-1)[vkey_safe].astype(jnp.int32)  # (V,) box min incl. self
         best = jnp.minimum(jnp.where(in_range, m, MAXI), label)
         # HOOKING (Shiloach-Vishkin): every tree adopts the min label seen by
-        # ANY of its members this round — local box-min alone only moves one
-        # hop per round (a wall spanning 300 azimuth cells would need ~300
-        # rounds); hooking + jumping converges in O(log V).
+        # ANY of its members this round — local box-min alone only moves
+        # `dense_passes` hops per round (a wall spanning 300 azimuth cells
+        # would need ~150 rounds); hooking + jumping converges in O(log V).
         root_min = jax.ops.segment_min(
             best, jnp.where(vox_valid, label, V), num_segments=V + 1
         )[:V]
         best = jnp.minimum(best, root_min[jnp.minimum(label, V - 1)])
         best = jnp.where(vox_valid, best, label)
-        # pointer jumping (path compression) x2
-        best = best[best]
+        # pointer jumping (path compression)
         label = best[best]
 
     # --- cluster stats ---
@@ -298,20 +317,19 @@ def dcvc_segment(
     labels = jnp.where(point_root >= 0, rank_of_root[jnp.maximum(point_root, 0)], 0)
     labels = jnp.where(cloud.valid, labels, 0)
 
-    # --- AABBs per kept cluster ---
+    # --- AABBs per kept cluster: ONE (N,6) segment_min of [xyz, -xyz]
+    # (max = -min of negated; a single row-scatter instead of two) ---
     BIG = jnp.asarray(1e30, cloud.xyz.dtype)
     lab0 = jnp.maximum(labels - 1, 0)
     in_cluster = labels > 0
-    seg_min = jax.ops.segment_min(
-        jnp.where(in_cluster[:, None], cloud.xyz, BIG),
+    both = jnp.concatenate([cloud.xyz, -cloud.xyz], axis=1)
+    seg_both = jax.ops.segment_min(
+        jnp.where(in_cluster[:, None], both, BIG),
         jnp.where(in_cluster, lab0, max_clusters),
         num_segments=max_clusters + 1,
     )[:max_clusters]
-    seg_max = jax.ops.segment_max(
-        jnp.where(in_cluster[:, None], cloud.xyz, -BIG),
-        jnp.where(in_cluster, lab0, max_clusters),
-        num_segments=max_clusters + 1,
-    )[:max_clusters]
+    seg_min = seg_both[:, :3]
+    seg_max = -seg_both[:, 3:]
 
     segmented = cloud.mask(in_cluster)
     return DCVCResult(labels, segmented, seg_min, seg_max, box_valid, num_clusters)

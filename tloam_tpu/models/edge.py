@@ -51,6 +51,7 @@ def extract_edges(
     picks_per_sector: int = 20,
     curv_thres: float = 0.1,
     suppress_gap_sq: float = 0.05,
+    ring_width: int = 4096,
 ) -> EdgeResult:
     """Extract edge features.
 
@@ -126,7 +127,11 @@ def extract_edges(
     # turns each round into row reductions + static shifts (pure vector ops),
     # and row isolation makes ring-boundary chain handling exact (the flat
     # rolls could leak a chain across a ring boundary).
-    W = 4096  # > max interior positions per ring (KITTI HDL-64 ~2200/ring)
+    # every pick-round op scales with W — size it just above the sensor's
+    # real per-ring return count (KITTI HDL-64 ~2200/ring; synthetic 1870);
+    # interior positions beyond W-1 collide on the last column and lose
+    # their candidacy (never mis-pick)
+    W = ring_width
     R = sensor_model
     drow = jnp.where(interior, ring_s, R)
     dcol = jnp.clip(pos - 5, 0, W - 1)

@@ -740,20 +740,24 @@ def scan_matching(
         # the whole solve (the reference rebuilds KD-trees once per call too,
         # registration.cpp:892-915, but re-fits planes EVERY query; our cell
         # cache moves all fitting out of the iteration loop)
-        def cells_cap(c: Cloud) -> int:
+        def cells_cap(c: Cloud, divisor: int = 1) -> int:
             # occupied cells can never exceed the point count; the window
-            # gathers cost O(max_cells * 27), so don't over-size
-            return max(1024, min(c.capacity, 65536))
+            # probe/fetch costs O(max_cells * 8) rows, so don't over-size.
+            # Edge (1.0 m cells over sparse lines) and planar (0.5 m cells
+            # over feature picks) occupy well under half their point
+            # capacity; ground at 0.5 m cells over 0.45 m voxels runs near
+            # one cell per point, so it keeps the full capacity.
+            return max(1024, min(c.capacity // divisor, 65536))
 
         grids = {
             "edge": _build_surf_cells(
-                submap.edge, cfg.edge_dist_thres, cells_cap(submap.edge)
+                submap.edge, cfg.edge_dist_thres, cells_cap(submap.edge, 2)
             ),
             "sphere": voxel.build_hash_grid(
                 submap.sphere.xyz, submap.sphere.valid, cfg.sphere_dist_thres
             ),
             "planar": _build_surf_cells(
-                submap.planar, cfg.planar_dist_thres, cells_cap(submap.planar)
+                submap.planar, cfg.planar_dist_thres, cells_cap(submap.planar, 2)
             ),
             "ground": _build_surf_cells(
                 submap.ground, cfg.ground_dist_thres, cells_cap(submap.ground)
@@ -823,10 +827,20 @@ def scan_matching(
             # The reference reads still-zeroed residual buffers => mu = 1e-10.
             mu = jnp.where(st.it == 0, jnp.asarray(1e-10, dtype), st.mu)
         else:
-            _, _, costs0 = _evaluate(st.xi, scan, corr, st.weights)
-            max_r = jnp.maximum(
-                jnp.max(costs0.planar),
-                jnp.maximum(jnp.max(costs0.edge), jnp.max(costs0.sphere)),
+            # full residual evaluation only matters on iteration 0 — gate it
+            # behind a cond so iterations 1..3 skip the extra _evaluate.
+            # The pmax stays OUTSIDE the cond (collectives must appear in
+            # both branches under SPMD; st.it is replicated so every shard
+            # takes the same branch and the reduce stays consistent).
+            def _mu0(_):
+                _, _, costs0 = _evaluate(st.xi, scan, corr, st.weights)
+                return jnp.maximum(
+                    jnp.max(costs0.planar),
+                    jnp.maximum(jnp.max(costs0.edge), jnp.max(costs0.sphere)),
+                )
+
+            max_r = jax.lax.cond(
+                st.it == 0, _mu0, lambda _: jnp.asarray(0.0, dtype), None
             )
             max_r = _pmax(max_r, axis_name)
             mu = jnp.where(

@@ -58,7 +58,10 @@ class PipelineConfig:
     odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
     sphere_submap_from_planar: bool = True  # reference quirk (front_end.cpp:240)
     sphere_index_bug: bool = False
-    max_voxels: int = 32768  # DCVC voxel table
+    # DCVC voxel table capacity: every CC-round scatter/gather scales with
+    # this. HDL-64E urban scans occupy ~4-5k curved voxels (measured); 8192
+    # leaves ~2x headroom (overflow voxels drop their points from clustering)
+    max_voxels: int = 8192
     max_clusters: int = 128
     # azimuth sectors for capacity-bounded feature picks (0 = global top-k).
     # The reference keeps every point above the scan threshold (unbounded,
@@ -69,10 +72,15 @@ class PipelineConfig:
     # per-frame submap-class feature capacities (planar/sphere window frames)
     frame_planar_cap: int = 4096
     frame_sphere_cap: int = 1024
-    # compaction capacity for the general (non-ground, non-edge) cloud before
-    # PCA/feature selection; 0 disables. Overflow drops the tail (valid
-    # points past the cap) — size generously above the observed ~35k.
+    # compaction capacity for the object (non-ground) cloud right after
+    # ground removal; 0 disables. DCVC, edge extraction, PCA and the feature
+    # picks all inherit this capacity, halving every per-point scatter /
+    # gather row count (only ~35-50% of raw capacity survives ground
+    # removal). Overflow drops the valid tail — size generously.
     general_cap: int = 65536
+    # dense edge-pick ring width (see models/edge.extract_edges): 2304 lanes
+    # covers HDL-64's ~2200 max returns per ring at ~55% of the 4096 cost
+    edge_ring_width: int = 2304
 
 
 class ScanFeatures(NamedTuple):
@@ -121,26 +129,43 @@ def preprocess_frame(raw: Cloud, cfg: PipelineConfig) -> ScanFeatures:
     cloud = raw.remove_nonfinite().remove_close(cfg.sensor.near_dis)
 
     seg = segmentation.ground_remove(cloud, cfg.sensor, cfg.ground)
+    objects, obj_ring = seg.objects, seg.ring
+    # Compact the object cloud (plus its aligned ring ids) ONCE, right after
+    # ground removal: only ~35-50% of raw capacity survives, and every
+    # downstream per-point scatter/gather in DCVC, edge extraction, PCA and
+    # the feature picks pays per ROW (~1 ms per 131k rows on TPU). The
+    # compaction is stable, so scan order — which the reference's feature
+    # caps and ring sequences depend on — is preserved.
+    if cfg.general_cap and cfg.general_cap < objects.capacity:
+        order = jnp.argsort(~objects.valid, stable=True)[: cfg.general_cap]
+        packed = jnp.concatenate(
+            [
+                objects.xyz,
+                objects.intensity[:, None],
+                objects.valid[:, None].astype(objects.xyz.dtype),
+                obj_ring[:, None].astype(objects.xyz.dtype),
+            ],
+            axis=1,
+        )
+        out = jnp.take(packed, order, axis=0)
+        objects = Cloud(xyz=out[:, :3], intensity=out[:, 3], valid=out[:, 4] > 0.5)
+        obj_ring = out[:, 5].astype(jnp.int32)
+
     clusters = dcvc.dcvc_segment(
-        seg.objects, cfg.dcvc, cfg.sensor, cfg.max_voxels, cfg.max_clusters
+        objects, cfg.dcvc, cfg.sensor, cfg.max_voxels, cfg.max_clusters
     )
-    n = cloud.capacity
+    n = objects.capacity
     order_key = clusters.labels.astype(jnp.int32) * n + jnp.arange(n, dtype=jnp.int32)
     edges = edge_mod.extract_edges(
         clusters.segmented,
-        seg.ring,
+        obj_ring,
         order_key,
         sensor_model=cfg.sensor.sensor_model,
         ring_min_num=cfg.ground.ring_min_num,
+        ring_width=cfg.edge_ring_width,
     )
     edge_cloud = clusters.segmented.mask(edges.edge_mask)
     general_cloud = clusters.segmented.mask(edges.general_mask)
-    # Compact the general cloud before PCA + feature picks: only ~25-35% of
-    # raw capacity survives ground/cluster/edge filtering, and every
-    # downstream per-point scatter/gather pays per ROW at full capacity
-    # (~1 ms per 131k rows on TPU). One packed compaction halves the rest.
-    if cfg.general_cap and cfg.general_cap < general_cloud.capacity:
-        general_cloud = general_cloud.compact(cfg.general_cap)
 
     sel = features.extract_planar_sphere(
         general_cloud, cfg.feature, sphere_index_bug=cfg.sphere_index_bug
