@@ -36,7 +36,11 @@ def main():
 
     cfg = frontend.PipelineConfig()
     cap = 1 << int(np.ceil(np.log2(args.rings * args.az)))
-    scene = synthetic.Scene.urban(np.random.default_rng(3), extent=90.0)
+    # Manhattan town: turns lead into cross streets, like real urban
+    # driving — the single-street `urban` scene starves any path that
+    # leaves its corridor (measured: planar corr -> 0 for whole frame
+    # stretches), which tests the scene, not the pipeline.
+    scene = synthetic.Scene.town(np.random.default_rng(3), extent=140.0)
     gt = synthetic.varied_trajectory(args.frames, step=1.0)
 
     state = frontend.init_state(cfg, jnp.float32)

@@ -47,7 +47,7 @@ def test_varied_drive_60_frames():
     # (pytest-harness runs vs standalone runs of the SAME code differ by
     # ~1 m; bisected round 2 — every code group "caused" it). The budgets
     # are therefore blow-up canaries sized above that band; tightening the
-    # turn segment itself (see TLSConfig.ground_coarse_scale) is the
+    # turn segment itself (see TLSConfig.coarse_scale) is the
     # accuracy lead that would shrink both the value and the variance.
     assert drift[-1] < 4.0, (drift[-1], drift[::10])
     assert drift.max() < 4.5, (drift.max(), drift[::10])

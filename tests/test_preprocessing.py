@@ -295,3 +295,37 @@ def test_dcvc_matches_numpy_union_find(rng):
     kept_frozen = {frozenset(s) for s in kept}
     for s in our_sets:
         assert frozenset(s) in kept_frozen
+
+
+def test_edge_pallas_kernel_parity(rng, monkeypatch):
+    """The Pallas pick-rounds kernel (run in interpreter mode on CPU) must
+    produce bit-identical edge/general masks to the XLA fallback path."""
+    m = 720
+    az = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    pts = []
+    rings_arr = []
+    for r_id in range(8):
+        radius = np.full(m, 6.0 + r_id) + rng.normal(size=m) * 0.02
+        spikes = rng.choice(m, size=12, replace=False)
+        radius[spikes] -= rng.uniform(0.5, 2.0, size=12)
+        pts.append(np.stack(
+            [radius * np.cos(az), radius * np.sin(az), np.full(m, 0.1 * r_id)], -1
+        ))
+        rings_arr.append(np.full(m, r_id))
+    xyz = np.concatenate(pts)
+    cloud = Cloud.from_numpy(xyz, capacity=8192)
+    ring = jnp.asarray(np.pad(np.concatenate(rings_arr), (0, 8192 - len(xyz))))
+    okey = jnp.arange(8192)
+
+    def run():
+        f = jax.jit(lambda c, r, o: edge.extract_edges(
+            c, r, o, sensor_model=8, ring_min_num=131, ring_width=1024))
+        out = f(cloud, ring, okey)
+        return np.asarray(out.edge_mask), np.asarray(out.general_mask)
+
+    e_xla, g_xla = run()
+    monkeypatch.setattr(edge, "_PALLAS_INTERPRET", True)
+    e_pal, g_pal = run()
+    assert e_xla.sum() > 20  # the scene actually produces edges
+    assert np.array_equal(e_xla, e_pal)
+    assert np.array_equal(g_xla, g_pal)

@@ -112,6 +112,16 @@ class TLSConfig:
     # motion-model prediction is kept along them); each inner GN step is
     # clamped to max_step_trans metres / max_step_rot radians.
     degen_rel_thres: float = 1e-3
+    # hard absolute floor, active ONLY while the planar family is empty
+    # (the ground-only runaway signature): a direction whose raw curvature
+    # (summed residual weight) is below this is then treated as
+    # unobservable no matter the eigenvalue ratios — a ground-only frame
+    # puts xy/yaw at ~5, pure noise from ~2000 near-vertical ground
+    # normals, and solving along them walks off at metres/frame. Applying
+    # the floor unconditionally (or raising the RELATIVE threshold) instead
+    # freezes genuinely-observed yaw at sharp-turn onset (both measured on
+    # the 120-frame drive).
+    degen_abs_hard: float = 30.0
     degen_abs_thres: float = 100.0  # raw curvature (summed residual weight)
     max_step_trans: float = 1.0
     max_step_rot: float = 0.3
@@ -135,14 +145,22 @@ class TLSConfig:
     # reaches 1.5 cells). Measured on the 60-frame varied drive: >1 admits
     # off-cell planes and degrades straight segments — keep 1.0.
     cell_gate_scale: float = 1.0
-    # coarse-to-fine: iteration 0 matches the GROUND family against a grid
-    # this many times coarser, so sharp-turn frames (motion-model prediction
-    # off by >1 m at range) still find correspondences; later iterations use
-    # the fine grid. 0 disables. Default OFF: on the 60-frame varied drive it
-    # fixes turn-onset frames (f12 step error 71 cm -> 9 cm) but the coarse
-    # iteration-0 costs poison the GNC weight schedule in low-overlap reverse
-    # segments — needs a weight-reset before it can be the default.
-    ground_coarse_scale: float = 0.0
+    # adaptive coarse re-localization: when a GNC round's PLANAR
+    # correspondence count falls below relocal_corr_thres (lost tracking —
+    # planar drops to exactly 0 when the pose is metres off after sharp-turn
+    # onset or an occlusion-starved stretch, while ground keeps matching
+    # regardless), the NEXT round matches planar against a grid
+    # coarse_scale x coarser with the full 27-window centroid reach
+    # (~2.25 m at 3.0), and its costs never touch the GNC weight / mu
+    # schedule (they would poison it — measured on the varied drive).
+    # Healthy frames never take a coarse round, so their trajectory is
+    # untouched. coarse_scale=0 disables.
+    coarse_scale: float = 3.0
+    # trigger only on a FULLY empty planar round (the lost signature is an
+    # exact 0 for whole frames); any partial matching is left to the fine
+    # rounds — a coarse round's plane bias measurably degrades turn-onset
+    # frames that still hold a few dozen fine matches
+    relocal_corr_thres: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

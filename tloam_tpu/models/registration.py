@@ -310,7 +310,7 @@ def _plane_correspondences_cell(
     nrm = jnp.stack([data[3], data[4], data[5]], axis=-1)
     d = data[6]
     # gate in units of the matched grid's OWN cell size, so a coarse grid
-    # (ground_coarse_scale) gates proportionally wider
+    # (coarse_scale) gates proportionally wider
     valid = (
         scan_valid & ok & (data[10] > 0.5)
         & (cen_dist <= gate_scale * cells.cell_size)
@@ -460,19 +460,33 @@ def _build_correspondences(
     cfg: TLSConfig,
     gicp_covs: dict | None = None,
     axis_name: str | None = None,
-    it: jax.Array | None = None,
+    use_coarse: jax.Array | None = None,
 ) -> _Corr:
-    # coarse-to-fine: iteration 0 matches ground against the coarse grid
-    # (same array shapes — a pure jnp.where pytree select), so a bad motion
-    # prediction at sharp-turn onset still finds correspondences
-    if "ground_coarse" in grids and it is not None:
-        coarse = grids["ground_coarse"]
-        fine = grids["ground"]
-        sel = it == 0
-        ground_grid = jax.tree.map(
-            lambda a, b: jnp.where(sel, a, b), coarse, fine
-        )
-        grids = {**grids, "ground": ground_grid}
+    # adaptive coarse re-localization: when the PREVIOUS GNC round starved
+    # (use_coarse), this round matches ground AND planar against grids built
+    # at coarse_scale x the cell pitch (same array shapes — a pure jnp.where
+    # pytree select), recovering correspondences when the pose is metres off
+    # (sharp-turn onset, post-occlusion loss). Healthy frames never take a
+    # coarse round, so their trajectory is bit-identical. The coarse round's
+    # costs never touch the GNC weights or mu (see outer_body) — coarse-
+    # plane residuals would poison the schedule.
+    planar_gate_scale = cfg.cell_gate_scale
+    if use_coarse is not None and "planar_coarse" in grids:
+        # PLANAR only: the lost-tracking signature is planar corr == 0
+        # (ground is horizontally homogeneous — it matches at fine reach
+        # even metres off-pose, so a coarse ground round adds nothing for
+        # the xy/yaw error that actually needs fixing). On coarse rounds the
+        # centroid gate opens to the full 27-window reach (1.5 cells): a
+        # coarse window's centroid legitimately sits far from the matching
+        # facade point.
+        grids = {
+            **grids,
+            "planar": jax.tree.map(
+                lambda a, b: jnp.where(use_coarse, a, b),
+                grids["planar_coarse"], grids["planar"],
+            ),
+        }
+        planar_gate_scale = jnp.where(use_coarse, 1.5, cfg.cell_gate_scale)
     T = se3.exp(xi)
     planar_w = se3.transform(T, scan.planar.xyz)
     ground_w = se3.transform(T, scan.ground.xyz)
@@ -484,7 +498,7 @@ def _build_correspondences(
             pn, pd, pv = _plane_correspondences_cell(
                 grids["planar"], planar_w, scan.planar.valid,
                 cfg.planar_dist_thres, cfg.planar_maxnum, axis_name,
-                cfg.cell_gate_scale,
+                planar_gate_scale,
             )
             gn, gd, gv = _plane_correspondences_cell(
                 grids["ground"], ground_w, scan.ground.valid,
@@ -619,10 +633,17 @@ def _gn_inner(
     w: _Weights,
     cfg: TLSConfig,
     axis_name: str | None = None,
+    hard_floor_on: jax.Array | bool = False,
 ) -> jax.Array:
     """Damped Gauss-Newton inner loop (replaces ceres::Solve 4 iterations,
     registration.cpp:1036-1047). With `axis_name`, the 6x6 normal equations
-    are psum-reduced across the mesh before the (replicated) solve."""
+    are psum-reduced across the mesh before the (replicated) solve.
+
+    `hard_floor_on`: activate the absolute degeneracy floor (see
+    TLSConfig.degen_abs_hard) — passed in as "the planar family is EMPTY",
+    the ground-only runaway signature. Applying the floor unconditionally
+    freezes genuinely-but-weakly observed yaw at sharp-turn onset
+    (measured: 1.7 m extra drift over one turn)."""
 
     def step(xi, _):
         H, g, _ = _evaluate(xi, scan, corr, w)
@@ -661,9 +682,10 @@ def _gn_inner(
         # e.g. GICP's ~1e-3 tangential weights, must still be solved).
         u_sq = jnp.sum((S[:, None] * V) ** 2, axis=0)
         lam_raw = lam / jnp.maximum(u_sq, 1e-30)
-        degen = (lam < cfg.degen_rel_thres * lam_max) & (
-            lam_raw < cfg.degen_abs_thres
-        )
+        degen = (
+            (lam < cfg.degen_rel_thres * lam_max)
+            & (lam_raw < cfg.degen_abs_thres)
+        ) | (hard_floor_on & (lam_raw < cfg.degen_abs_hard))
         inv = jnp.where(degen, 0.0, 1.0 / (lam + damp))
         delta = -S * ((V * inv[None, :]) @ (V.T @ (S * g)))
         tn = jnp.linalg.norm(delta[:3])
@@ -763,14 +785,14 @@ def scan_matching(
                 submap.ground, cfg.ground_dist_thres, cells_cap(submap.ground)
             ),
         }
-        if cfg.ground_coarse_scale:
+        if cfg.coarse_scale:
             # the 0.2 plane-precision gate is tuned for fine windows; a
-            # coarse ground window legitimately spans slope/curb variation
-            grids["ground_coarse"] = _build_surf_cells(
-                submap.ground,
-                cfg.ground_dist_thres * cfg.ground_coarse_scale,
-                cells_cap(submap.ground),
-                precise_thres=0.2 * cfg.ground_coarse_scale,
+            # coarse window legitimately spans slope/curb/facade variation
+            grids["planar_coarse"] = _build_surf_cells(
+                submap.planar,
+                cfg.planar_dist_thres * cfg.coarse_scale,
+                cells_cap(submap.planar, 2),
+                precise_thres=0.2 * cfg.coarse_scale,
             )
     else:
         grids = {
@@ -787,6 +809,8 @@ def scan_matching(
                 submap.ground.xyz, submap.ground.valid, cfg.ground_dist_thres
             ),
         }
+
+    has_coarse = "planar_coarse" in grids
 
     noise_bound_sq = cfg.noise_bound**2
     if noise_bound_sq < 1e-16:
@@ -818,8 +842,17 @@ def scan_matching(
     )
 
     def outer_body(st: _OuterState) -> _OuterState:
+        # a round is a COARSE re-localization round when the previous round
+        # lost the planar family (lost tracking: planar goes to exactly 0
+        # for whole frames, while sparse-but-tracking frames keep dozens);
+        # round 0 is always fine (num_corr starts at a large sentinel), so
+        # healthy frames never take one
+        if has_coarse:
+            use_coarse = st.num_corr[0] < cfg.relocal_corr_thres
+        else:
+            use_coarse = jnp.asarray(False)
         corr = _build_correspondences(
-            st.xi, scan, submap, grids, cfg, gicp_covs, axis_name, st.it
+            st.xi, scan, submap, grids, cfg, gicp_covs, axis_name, use_coarse
         )
 
         # mu initialisation on the first iteration (registration.cpp:1027-1033)
@@ -847,7 +880,13 @@ def scan_matching(
                 st.it == 0, res.gnc_init_mu(max_r, noise_bound_sq), st.mu
             )
 
-        xi = _gn_inner(st.xi, scan, corr, st.weights, cfg, axis_name)
+        planar_empty = (
+            _psum(jnp.sum(corr.plane_valid), axis_name) == 0
+        )
+        xi = _gn_inner(
+            st.xi, scan, corr, st.weights, cfg, axis_name,
+            hard_floor_on=planar_empty,
+        )
 
         # final-pose costs feed the GNC weight update (the reference's cost
         # side-channels hold the values of Ceres' last Evaluate call)
@@ -868,9 +907,23 @@ def scan_matching(
                 st.weights.sphere, costs.sphere, noise_bound_sq, th1, th2, mu
             ),
         )
-        mu = res.gnc_next_mu(mu, st.it.astype(dtype), cfg.gnc_factor)
-
+        mu_next = res.gnc_next_mu(mu, st.it.astype(dtype), cfg.gnc_factor)
         planar_cost = _psum(jnp.sum(costs.planar), axis_name)
+        if has_coarse:
+            # a coarse re-localization round must not seed the GNC schedule:
+            # its coarse-plane residuals are legitimately large. Weights and
+            # mu stay put, and the convergence comparison resets.
+            new_w = jax.tree.map(
+                lambda old, new: jnp.where(use_coarse, old, new),
+                st.weights, new_w,
+            )
+            mu_next = jnp.where(use_coarse, st.mu, mu_next)
+            planar_cost_out = jnp.where(
+                use_coarse, jnp.asarray(jnp.inf, dtype), planar_cost
+            )
+        else:
+            planar_cost_out = planar_cost
+        mu = mu_next
         cost_sums = jnp.stack(
             [
                 planar_cost,
@@ -890,10 +943,19 @@ def scan_matching(
             ),
             axis_name,
         ).astype(jnp.int32)
-        # planar-only convergence gate (registration.cpp:1108-1111)
-        done = jnp.abs(planar_cost - st.prev_planar_cost) < cfg.cost_threshold
+        # planar-only convergence gate (registration.cpp:1108-1111) — with a
+        # fail-safe the reference never needed: an EMPTY planar family has
+        # cost identically 0, so the raw |delta| gate would declare
+        # convergence on exactly the frames that still need every iteration
+        # to re-localize (post-occlusion loss: measured 3 m/frame divergence
+        # on the 120-frame drive).
+        done = (
+            (jnp.abs(planar_cost - st.prev_planar_cost) < cfg.cost_threshold)
+            & (ncorr[0] > 0)
+            & ~use_coarse
+        )
         return _OuterState(
-            xi, new_w, mu, planar_cost, cost_sums, ncorr, st.it + 1, done
+            xi, new_w, mu, planar_cost_out, cost_sums, ncorr, st.it + 1, done
         )
 
     init = _OuterState(
@@ -902,7 +964,9 @@ def scan_matching(
         mu=jnp.asarray(1.0, dtype),
         prev_planar_cost=jnp.asarray(jnp.inf, dtype),
         costs=jnp.zeros(4, dtype),
-        num_corr=jnp.zeros(4, jnp.int32),
+        # large sentinel: round 0 must always be a FINE round (the coarse
+        # re-localization trigger reads the previous round's counts)
+        num_corr=jnp.full((4,), 1 << 20, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
     )

@@ -67,6 +67,55 @@ class Scene:
                 x0 += 2 * r + rng.uniform(0.5, 6.0)
         return Scene(walls, poles, bushes)
 
+    @staticmethod
+    def town(
+        rng: np.random.Generator | None = None,
+        extent: float = 120.0,
+        block: float = 40.0,
+    ) -> "Scene":
+        """Manhattan block grid: streets every `block` metres along BOTH
+        axes with building fronts 8 m off each street axis — so a
+        trajectory that turns (urban driving) keeps seeing structure, like
+        a real city does. The single-street `urban` scene starves any path
+        that leaves its corridor, which tests the scene, not the pipeline."""
+        rng = rng or np.random.default_rng(0)
+        walls = []
+        bushes = []
+        grid = np.arange(-extent, extent + 1e-6, block)
+        for axis in (0, 1):  # 0: wall plane x=const, 1: wall plane y=const
+            for g in grid:
+                for side in (-8.0, 8.0):
+                    c = g + side + rng.uniform(-1, 1)
+                    x0 = -extent
+                    while x0 < extent:
+                        seg = rng.uniform(8, 20)
+                        # leave gaps at intersections (crossing streets)
+                        mid = x0 + seg / 2
+                        near_cross = np.min(np.abs(grid - mid)) < 10.0
+                        if rng.uniform() < 0.8 and not near_cross:
+                            walls.append(
+                                (axis, c, x0, x0 + seg, 0.0, rng.uniform(3, 8))
+                            )
+                            if rng.uniform() < 0.5:
+                                r = rng.uniform(0.4, 0.9)
+                                off = (-1.0 if side > 0 else 1.0) * r * 0.7
+                                bx = x0 + seg * rng.uniform(0.2, 0.8)
+                                if axis == 1:
+                                    bushes.append((bx, c + off, r * 0.9, r))
+                                else:
+                                    bushes.append((c + off, bx, r * 0.9, r))
+                        x0 += seg + rng.uniform(0, 4)
+        poles = [
+            (
+                float(rng.choice(grid)) + rng.uniform(-7, 7),
+                float(rng.choice(grid)) + rng.uniform(-7, 7),
+                0.15,
+                rng.uniform(2.5, 5.0),
+            )
+            for _ in range(120)
+        ]
+        return Scene(walls, poles, bushes)
+
 
 def simulate_scan(
     pose: np.ndarray,
