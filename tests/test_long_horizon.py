@@ -39,18 +39,14 @@ def test_varied_drive_60_frames():
     t_err, r_err = trajectory.kitti_odometry_errors(gt_rel, est)
     ate = trajectory.ate_rmse(gt_rel, est)
 
-    # budgets: the varied drive crosses occlusions, stops, and reverses —
-    # a real regression shows up as many metres of drift (frame-10-style
-    # jumps were ~10 m before the degeneracy fix). This scenario's sharp-turn
-    # frames sit near a sensitivity edge: bit-equivalent builds measured
-    # 1.58-3.2 m final drift purely from f32 summation-order differences
-    # (pytest-harness runs vs standalone runs of the SAME code differ by
-    # ~1 m; bisected round 2 — every code group "caused" it). The budgets
-    # are therefore blow-up canaries sized above that band; tightening the
-    # turn segment itself (see TLSConfig.coarse_scale) is the
-    # accuracy lead that would shrink both the value and the variance.
-    assert drift[-1] < 4.0, (drift[-1], drift[::10])
-    assert drift.max() < 4.5, (drift.max(), drift[::10])
-    assert ate < 2.5, ate
+    # Parity-grade budgets (round 3): with alignment-gated coarse-to-fine
+    # matching + GNC engagement deferred to aligned rounds (see
+    # TLSConfig.coarse_cost_thres/relocal_frac), this drive measures
+    # 0.33 m final / 0.39 m max / 0.12 m ATE (was 1.6-6 m with round-2's
+    # turn-onset yaw freeze). Budgets leave ~3x headroom for f32
+    # summation-order variance across harnesses.
+    assert drift[-1] < 1.2, (drift[-1], drift[::10])
+    assert drift.max() < 1.5, (drift.max(), drift[::10])
+    assert ate < 0.8, ate
     if not np.isnan(t_err):
-        assert t_err < 8.0, t_err  # % over 100-800m segments
+        assert t_err < 3.0, t_err  # % over 100-800m segments

@@ -29,13 +29,20 @@ def cmd_run(args) -> int:
     cfg = load_pipeline_config(args.config, args.set or ())
     timer = timing.StageTimer()
 
+    from tloam_tpu.io.kitti import prefetch_iter
+
     if args.data:
         from tloam_tpu.io import kitti
 
         seq = kitti.KittiSequence.open(args.data, args.sequence)
         n = len(seq) if args.frames is None else min(args.frames, len(seq))
         print(f"KITTI sequence {args.sequence}: {n} frames", file=sys.stderr)
-        scan_iter = ((i, seq.scan(i)) for i in range(n))
+        # background prefetch thread (native loader underneath when built):
+        # disk I/O overlaps the device step, the reference's reader-nodelet
+        # role (kitti_reader_nodelet.cpp:60-70)
+        scan_iter = prefetch_iter(
+            ((i, seq.scan(i)) for i in range(n)), depth=4
+        )
         cap = 131072
         gt = seq.gt_velo()
     else:
@@ -54,7 +61,9 @@ def cmd_run(args) -> int:
                     )
                 yield i, s
 
-        scan_iter = gen()
+        # raycast synthesis (~0.5 s/frame of pure host work) overlaps the
+        # device step via the same prefetch thread as the KITTI path
+        scan_iter = prefetch_iter(gen(), depth=2)
         gt = gt.copy()
         gt[:, 2, 3] += 1.73
         gt = np.linalg.inv(gt[0])[None] @ gt

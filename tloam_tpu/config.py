@@ -93,15 +93,20 @@ class TLSConfig:
     planar_maxnum: int = 2500
     ground_dist_thres: float = 0.5
     ground_maxnum: int = 2000
-    max_iterations: int = 4
+    # reference: 4 (lidar_odometry.yaml). Round 0 here is a coarse wide-basin
+    # round (see coarse_scale), so 5 keeps the reference's 4 fine
+    # match-and-solve rounds.
+    max_iterations: int = 5
     inner_iterations: int = 4  # ceres options.max_num_iterations
     cost_threshold: float = 5e-9
     gnc_factor: float = 11.8
     noise_bound: float = 0.01
     fitness_thres: float = 0.02
     # --- TPU-build-specific knobs ---
-    # "residual": paper-correct mu init from the max residual evaluated at the
-    #   predicted pose. "reference_zero": reproduce the reference's emergent
+    # "residual": GNC-TLS-proper mu init from the max residual of the first
+    #   fine round's CONVERGED solution (seeding from pre-alignment residuals
+    #   collapses every weight ~100x exactly on high-error turn-onset frames
+    #   — measured). "reference_zero": reproduce the reference's emergent
     #   behavior (residual buffers are still zero-initialized when mu is set
     #   on iter 0, registration.cpp:934,1027-1033, so mu always starts 1e-10).
     mu_init: str = "residual"
@@ -121,6 +126,10 @@ class TLSConfig:
     # the floor unconditionally (or raising the RELATIVE threshold) instead
     # freezes genuinely-observed yaw at sharp-turn onset (both measured on
     # the 120-frame drive).
+    # Both absolute thresholds are in UNIT-WEIGHT curvature (summed residual
+    # count): the solver re-normalizes by the mean squared GNC weight before
+    # the test, so a uniform weight collapse (which leaves the GN direction
+    # unchanged) cannot trip them.
     degen_abs_hard: float = 30.0
     degen_abs_thres: float = 100.0  # raw curvature (summed residual weight)
     max_step_trans: float = 1.0
@@ -145,22 +154,32 @@ class TLSConfig:
     # reaches 1.5 cells). Measured on the 60-frame varied drive: >1 admits
     # off-cell planes and degrades straight segments — keep 1.0.
     cell_gate_scale: float = 1.0
-    # adaptive coarse re-localization: when a GNC round's PLANAR
-    # correspondence count falls below relocal_corr_thres (lost tracking —
-    # planar drops to exactly 0 when the pose is metres off after sharp-turn
-    # onset or an occlusion-starved stretch, while ground keeps matching
-    # regardless), the NEXT round matches planar against a grid
+    # coarse-to-fine matching: ROUND 0 always matches planar against a grid
     # coarse_scale x coarser with the full 27-window centroid reach
-    # (~2.25 m at 3.0), and its costs never touch the GNC weight / mu
-    # schedule (they would poison it — measured on the varied drive).
-    # Healthy frames never take a coarse round, so their trajectory is
-    # untouched. coarse_scale=0 disables.
+    # (~2.25 m at 3.0) — the constant-velocity prediction is structurally
+    # behind at startup (a full step of error) and sharp-turn onset
+    # (0.06 rad/frame of yaw lag), where the fine window reach (~1.5 cells)
+    # loses every point past ~12 m. A coarse round is also re-entered
+    # whenever a round loses the planar family entirely (post-occlusion
+    # re-localization, relocal_corr_thres). Coarse rounds never touch the
+    # GNC weight / mu schedule (their coarse-plane residuals would poison
+    # it — measured on the varied drive). coarse_scale=0 disables.
     coarse_scale: float = 3.0
-    # trigger only on a FULLY empty planar round (the lost signature is an
-    # exact 0 for whole frames); any partial matching is left to the fine
-    # rounds — a coarse round's plane bias measurably degrades turn-onset
-    # frames that still hold a few dozen fine matches
+    # starvation trigger: a round with fewer planar matches than this also
+    # forces a coarse round (the fully-lost signature)
     relocal_corr_thres: int = 1
+    # match-fraction trigger: a fine round that matched fewer than this
+    # fraction of the scan's planar candidates is not trusted as "aligned"
+    # even when its residuals are small — the matched nearby subset is
+    # self-consistent while the unmatched distant points carry the
+    # misalignment signal (startup frame 1: 297/1024 matched, mean cost
+    # small, pose 0.84 m off — measured). Healthy tracking sits at 0.7-0.9.
+    relocal_frac: float = 0.5
+    # alignment gate (mean planar point-to-plane cost, m^2) deciding both
+    # (a) when a coarse round is needed and (b) when GNC may engage:
+    # 2e-3 = mean |r| ~ 4.5 cm. Healthy tracking sits at ~1e-4; turn-onset /
+    # startup misalignment at ~1e-2 (measured on the 120-frame drive).
+    coarse_cost_thres: float = 2e-3
 
 
 @dataclasses.dataclass(frozen=True)

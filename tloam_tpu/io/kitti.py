@@ -172,23 +172,40 @@ class KittiSequence:
         """Iterator with a background prefetch thread — the TPU-era analogue
         of the reference's dedicated reader nodelet thread
         (kitti_reader_nodelet.cpp:60-70): overlap disk I/O with device work."""
-        q: queue.Queue = queue.Queue(maxsize=depth)
-        stop = threading.Event()
+        return prefetch_iter(
+            ((i, self.scan(i, max_points)) for i in range(len(self))),
+            depth=depth,
+        )
 
-        def worker():
-            for i in range(len(self)):
+
+def prefetch_iter(it, depth: int = 4):
+    """Run any scan iterator on a background thread with a bounded queue, so
+    producing the next item (disk read, raycast synthesis, decompression)
+    overlaps the consumer's device step. Exceptions propagate to the
+    consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def worker():
+        try:
+            for item in it:
                 if stop.is_set():
                     return
-                q.put((i, self.scan(i, max_points)))
-            q.put(None)
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            q.put((_ERR, e))
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                yield item
-        finally:
-            stop.set()
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()

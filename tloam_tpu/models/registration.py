@@ -26,10 +26,11 @@ Reference quirks reproduced on purpose (SURVEY.md §hard-parts e):
     families and r² for point-to-plane (registration.cpp:32,69,101,143).
   * Convergence tests ONLY the planar cost delta (registration.cpp:1108).
   * mu ramp mu *= exp((iter+1)·gnc_factor) (registration.cpp:1089).
-  * mu init on iter 0 (registration.cpp:1027-1033): see TLSConfig.mu_init —
-    the reference reads the residual buffers while they are still
+  * mu init (registration.cpp:1027-1033): see TLSConfig.mu_init — the
+    reference reads the residual buffers while they are still
     zero-initialized, so it always starts at mu=1e-10; "residual" mode
-    instead evaluates real residuals at the predicted pose (paper-correct).
+    instead seeds mu from the max residual of the first fine round's
+    CONVERGED solution (GNC-TLS proper).
   * correspondence caps per family keep the FIRST maxnum valid matches in
     scan order (registration.cpp:448,538,592,679,735); the sphere counter
     additionally ticks for no-neighbor points (registration.cpp:551), so its
@@ -208,14 +209,25 @@ class _SurfCells(NamedTuple):
 
 
 def _build_surf_cells(
-    cloud: Cloud, cell_size, max_cells: int, precise_thres: float = 0.2
+    cloud: Cloud, cell_size, max_cells: int, precise_thres: float = 0.2,
+    line_mode: str = "window",
 ) -> _SurfCells:
     """Window (27-cell) moment aggregation -> plane + line fits per cell.
 
     Plane uses the reference's weighted-axis formula (fitBestPlane,
     registration.cpp:303-368) on the window moments; the precision gate
     approximates "every neighbor within 0.2 of the plane"
-    (registration.cpp:606-612) by 2*sqrt(lambda0) <= 0.2."""
+    (registration.cpp:606-612) by 2*sqrt(lambda0) <= 0.2.
+
+    line_mode="cell" fits the line (and its matching centroid) from each
+    cell's OWN moments instead of the 3-cell window: a window at the edge
+    grid's 1 m pitch spans 3 m and regularly covers several distinct
+    vertical structures (two building corners, a pole + a corner), whose
+    merged covariance is horizontal — failing both the lam2 > 3*lam1 and the
+    |dir_z| gates. That is the measured reason the edge family dropped to 0
+    correspondences on whole frames (BENCH_r02 corr_min). Per-cell fits
+    have the locality of the reference's 5-NN line fit
+    (registration.cpp:449-480)."""
     from tloam_tpu.models.segmentation import weighted_axis_plane
 
     dtype = cloud.xyz.dtype
@@ -223,8 +235,8 @@ def _build_surf_cells(
 
     # anchored moments: raw-coordinate E[x^2]-E[x]^2 cancels catastrophically
     # in f32 at map scale — see voxel.anchored_window_moments
-    (anx, any_, anz), mw, _ = voxel.block_window_moments(
-        cloud.xyz, cloud.valid, bt, cell_size
+    (anx, any_, anz), mw, _, cellm = voxel.block_window_moments(
+        cloud.xyz, cloud.valid, bt, cell_size, return_cell=True
     )
     w_cnt, sx, sy, sz, mxx, mxy, mxz, myy, myz, mzz = mw
     cnt = jnp.maximum(w_cnt, 1.0)
@@ -247,12 +259,29 @@ def _build_surf_cells(
     a12 = myz / cnt - ceny_r * cenz_r
     a22 = mzz / cnt - cenz_r * cenz_r
     lam0, lam1, lam2 = eig3.eigvalsh3_soa(a00, a01, a02, a11, a12, a22)
-    dirx, diry, dirz = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam2)
+
+    if line_mode == "cell":
+        c_cnt = cellm[:, 0]
+        ccd = jnp.maximum(c_cnt, 1.0)
+        cmx, cmy, cmz = cellm[:, 1] / ccd, cellm[:, 2] / ccd, cellm[:, 3] / ccd
+        c00 = cellm[:, 4] / ccd - cmx * cmx
+        c01 = cellm[:, 5] / ccd - cmx * cmy
+        c02 = cellm[:, 6] / ccd - cmx * cmz
+        c11 = cellm[:, 7] / ccd - cmy * cmy
+        c12 = cellm[:, 8] / ccd - cmy * cmz
+        c22 = cellm[:, 9] / ccd - cmz * cmz
+        cl0, cl1, cl2 = eig3.eigvalsh3_soa(c00, c01, c02, c11, c12, c22)
+        dirx, diry, dirz = eig3.eigvec_soa(c00, c01, c02, c11, c12, c22, cl2)
+        # the matching centroid is the cell's own (lanes 0-2)
+        cenx, ceny, cenz = anx + cmx, any_ + cmy, anz + cmz
+        ok_line = bt.cell_valid & (c_cnt >= 4) & (cl2 > 3.0 * cl1)
+    else:
+        dirx, diry, dirz = eig3.eigvec_soa(a00, a01, a02, a11, a12, a22, lam2)
+        ok_line = bt.cell_valid & (w_cnt >= 4) & (lam2 > 3.0 * lam1)
 
     precise = 2.0 * jnp.sqrt(jnp.maximum(lam0, 0.0)) <= precise_thres
     ok_plane = bt.cell_valid & (w_cnt >= 5) & precise
     # edge gates: >=4 pts and lam_max > 3*lam_mid (registration.cpp:445,481)
-    ok_line = bt.cell_valid & (w_cnt >= 4) & (lam2 > 3.0 * lam1)
 
     surf = jnp.stack(
         [
@@ -634,6 +663,7 @@ def _gn_inner(
     cfg: TLSConfig,
     axis_name: str | None = None,
     hard_floor_on: jax.Array | bool = False,
+    w_scale: jax.Array | float = 1.0,
 ) -> jax.Array:
     """Damped Gauss-Newton inner loop (replaces ceres::Solve 4 iterations,
     registration.cpp:1036-1047). With `axis_name`, the 6x6 normal equations
@@ -643,7 +673,16 @@ def _gn_inner(
     TLSConfig.degen_abs_hard) — passed in as "the planar family is EMPTY",
     the ground-only runaway signature. Applying the floor unconditionally
     freezes genuinely-but-weakly observed yaw at sharp-turn onset
-    (measured: 1.7 m extra drift over one turn)."""
+    (measured: 1.7 m extra drift over one turn).
+
+    `w_scale`: mean squared GNC weight over the valid correspondences. The
+    absolute curvature thresholds (degen_abs_*) are meant in "unit-weight
+    residual count" units; after a GNC weight update ALL weights can shrink
+    uniformly (harmless to the solve direction — GN is scale-invariant — but
+    it collapses raw curvature by w^2), so the raw curvature is re-normalized
+    by w_scale before the threshold test. Measured on the 120-frame varied
+    drive: without this, turn-onset frames (whose round-0 residuals shrink
+    every weight ~100x) freeze the yaw direction for rounds 1-3."""
 
     def step(xi, _):
         H, g, _ = _evaluate(xi, scan, corr, w)
@@ -681,7 +720,7 @@ def _gn_inner(
         # absolutely unconstrained (weakly-but-genuinely observed directions,
         # e.g. GICP's ~1e-3 tangential weights, must still be solved).
         u_sq = jnp.sum((S[:, None] * V) ** 2, axis=0)
-        lam_raw = lam / jnp.maximum(u_sq, 1e-30)
+        lam_raw = lam / jnp.maximum(u_sq, 1e-30) / jnp.maximum(w_scale, 1e-12)
         degen = (
             (lam < cfg.degen_rel_thres * lam_max)
             & (lam_raw < cfg.degen_abs_thres)
@@ -710,6 +749,8 @@ class _OuterState(NamedTuple):
     xi: jax.Array
     weights: _Weights
     mu: jax.Array
+    mu_inited: jax.Array  # () bool — mu seeded on the first ALIGNED fine round
+    want_coarse: jax.Array  # () bool — next round matches the coarse grid
     prev_planar_cost: jax.Array
     costs: jax.Array  # (4,) last cost sums
     num_corr: jax.Array  # (4,)
@@ -773,7 +814,8 @@ def scan_matching(
 
         grids = {
             "edge": _build_surf_cells(
-                submap.edge, cfg.edge_dist_thres, cells_cap(submap.edge, 2)
+                submap.edge, cfg.edge_dist_thres, cells_cap(submap.edge, 2),
+                line_mode="cell",
             ),
             "sphere": voxel.build_hash_grid(
                 submap.sphere.xyz, submap.sphere.valid, cfg.sphere_dist_thres
@@ -841,56 +883,111 @@ def scan_matching(
         jnp.ones(scan.sphere.capacity, dtype),
     )
 
+    # alignment gating only applies where the planar cost has its
+    # point-to-plane metric meaning (m^2); gicp costs live on a
+    # covariance-normalized scale
+    gate_on_alignment = cfg.plane_residual == "point_to_plane"
+    # planar candidate count for the match-fraction trigger (see
+    # TLSConfig.relocal_frac)
+    n_planar_cand = _psum(jnp.sum(scan.planar.valid), axis_name)
+
     def outer_body(st: _OuterState) -> _OuterState:
-        # a round is a COARSE re-localization round when the previous round
-        # lost the planar family (lost tracking: planar goes to exactly 0
-        # for whole frames, while sparse-but-tracking frames keep dozens);
-        # round 0 is always fine (num_corr starts at a large sentinel), so
-        # healthy frames never take one
+        # A round is a COARSE round when the PREVIOUS fine round ended
+        # grossly misaligned (mean planar cost above coarse_cost_thres) or
+        # lost the planar family outright. That happens exactly where the
+        # constant-velocity prediction is structurally behind — startup
+        # (predict = identity, a full step of error), sharp-turn onset
+        # (0.06 rad/frame of yaw lag pushes every point past ~12 m beyond
+        # the fine 3x3x3 window reach of ~1.5 cells), post-occlusion loss —
+        # and never on healthy frames, whose trajectory stays untouched.
+        # Coarse rounds never touch the GNC weights / mu (see below): they
+        # only widen the basin; the following fine round does the precision.
         if has_coarse:
-            use_coarse = st.num_corr[0] < cfg.relocal_corr_thres
+            use_coarse = st.want_coarse
         else:
             use_coarse = jnp.asarray(False)
         corr = _build_correspondences(
             st.xi, scan, submap, grids, cfg, gicp_covs, axis_name, use_coarse
         )
 
-        # mu initialisation on the first iteration (registration.cpp:1027-1033)
-        if cfg.mu_init == "reference_zero":
-            # The reference reads still-zeroed residual buffers => mu = 1e-10.
-            mu = jnp.where(st.it == 0, jnp.asarray(1e-10, dtype), st.mu)
-        else:
-            # full residual evaluation only matters on iteration 0 — gate it
-            # behind a cond so iterations 1..3 skip the extra _evaluate.
-            # The pmax stays OUTSIDE the cond (collectives must appear in
-            # both branches under SPMD; st.it is replicated so every shard
-            # takes the same branch and the reduce stays consistent).
-            def _mu0(_):
-                _, _, costs0 = _evaluate(st.xi, scan, corr, st.weights)
-                return jnp.maximum(
-                    jnp.max(costs0.planar),
-                    jnp.maximum(jnp.max(costs0.edge), jnp.max(costs0.sphere)),
-                )
-
-            max_r = jax.lax.cond(
-                st.it == 0, _mu0, lambda _: jnp.asarray(0.0, dtype), None
-            )
-            max_r = _pmax(max_r, axis_name)
-            mu = jnp.where(
-                st.it == 0, res.gnc_init_mu(max_r, noise_bound_sq), st.mu
-            )
+        # mean squared GNC weight over valid correspondences: re-normalizes
+        # the absolute degeneracy thresholds inside _gn_inner (GN is
+        # invariant to a uniform weight scale; the curvature gate is not)
+        w_mass = (
+            jnp.sum(jnp.square(st.weights.planar) * corr.plane_valid)
+            + jnp.sum(jnp.square(st.weights.ground) * corr.ground_valid)
+            + jnp.sum(jnp.square(st.weights.edge) * corr.edge_valid)
+            + jnp.sum(jnp.square(st.weights.sphere) * corr.sphere_valid)
+        )
+        n_valid = (
+            jnp.sum(corr.plane_valid) + jnp.sum(corr.ground_valid)
+            + jnp.sum(corr.edge_valid) + jnp.sum(corr.sphere_valid)
+        )
+        w_scale = _psum(w_mass, axis_name) / jnp.maximum(
+            _psum(n_valid, axis_name), 1
+        )
 
         planar_empty = (
             _psum(jnp.sum(corr.plane_valid), axis_name) == 0
         )
         xi = _gn_inner(
             st.xi, scan, corr, st.weights, cfg, axis_name,
-            hard_floor_on=planar_empty,
+            hard_floor_on=planar_empty, w_scale=w_scale,
         )
 
         # final-pose costs feed the GNC weight update (the reference's cost
         # side-channels hold the values of Ceres' last Evaluate call)
         _, _, costs = _evaluate(xi, scan, corr, st.weights)
+
+        planar_cost = _psum(jnp.sum(costs.planar), axis_name)
+        ncorr = _psum(
+            jnp.stack(
+                [
+                    jnp.sum(corr.plane_valid),
+                    jnp.sum(corr.ground_valid),
+                    jnp.sum(corr.edge_valid),
+                    jnp.sum(corr.sphere_valid),
+                ]
+            ),
+            axis_name,
+        ).astype(jnp.int32)
+
+        # Alignment test on this round's converged solution: GNC (mu seeding
+        # + weight updates) only engages once the scan is roughly aligned.
+        # While grossly misaligned, TLS residuals measure pose error, not
+        # outlier-ness — seeding mu there collapses every weight ~100x on
+        # exactly the frames (turn onset, startup) that most need their
+        # correspondences, and a weight update with the initial mu=1 kills
+        # anything above ~1.4cm outright (both measured on the 120-frame
+        # varied drive).
+        mean_planar = planar_cost / jnp.maximum(ncorr[0], 1)
+        if gate_on_alignment:
+            frac_ok = ncorr[0] >= cfg.relocal_frac * n_planar_cand
+            aligned = (
+                (mean_planar <= cfg.coarse_cost_thres) & frac_ok
+                & (ncorr[0] > 0) & ~use_coarse
+            )
+        else:
+            aligned = (ncorr[0] > 0) & ~use_coarse
+
+        # mu initialisation on the first aligned fine round (reference:
+        # registration.cpp:1027-1033, executed before the first solve).
+        first_fine = ~st.mu_inited & aligned
+        if cfg.mu_init == "reference_zero":
+            # The reference reads still-zeroed residual buffers => mu = 1e-10.
+            mu = jnp.where(first_fine, jnp.asarray(1e-10, dtype), st.mu)
+        else:
+            # GNC-TLS proper: mu from the max residual of the CONVERGED
+            # aligned solution (already in `costs` — no extra _evaluate).
+            max_r = jnp.maximum(
+                jnp.max(costs.planar),
+                jnp.maximum(jnp.max(costs.edge), jnp.max(costs.sphere)),
+            )
+            max_r = _pmax(max_r, axis_name)
+            mu = jnp.where(
+                first_fine, res.gnc_init_mu(max_r, noise_bound_sq), st.mu
+            )
+        mu_inited = st.mu_inited | first_fine
 
         th1, th2 = res.gnc_thresholds(mu, noise_bound_sq)
         new_w = _Weights(
@@ -907,23 +1004,29 @@ def scan_matching(
                 st.weights.sphere, costs.sphere, noise_bound_sq, th1, th2, mu
             ),
         )
-        mu_next = res.gnc_next_mu(mu, st.it.astype(dtype), cfg.gnc_factor)
-        planar_cost = _psum(jnp.sum(costs.planar), axis_name)
+        # weights/mu advance only on aligned fine rounds with mu seeded
+        do_update = mu_inited & ~use_coarse
+        new_w = jax.tree.map(
+            lambda old, new: jnp.where(do_update, new, old), st.weights, new_w
+        )
+        mu = jnp.where(
+            do_update,
+            res.gnc_next_mu(mu, st.it.astype(dtype), cfg.gnc_factor),
+            mu,
+        )
+        planar_cost_out = jnp.where(
+            use_coarse, jnp.asarray(jnp.inf, dtype), planar_cost
+        )
+        # next round goes coarse when this fine round is still misaligned or
+        # starved — never twice in a row (a coarse round's residuals against
+        # coarse planes are legitimately large; alignment is re-measured on
+        # the fine round that follows)
         if has_coarse:
-            # a coarse re-localization round must not seed the GNC schedule:
-            # its coarse-plane residuals are legitimately large. Weights and
-            # mu stay put, and the convergence comparison resets.
-            new_w = jax.tree.map(
-                lambda old, new: jnp.where(use_coarse, old, new),
-                st.weights, new_w,
-            )
-            mu_next = jnp.where(use_coarse, st.mu, mu_next)
-            planar_cost_out = jnp.where(
-                use_coarse, jnp.asarray(jnp.inf, dtype), planar_cost
+            want_coarse = (
+                (~aligned | (ncorr[0] < cfg.relocal_corr_thres)) & ~use_coarse
             )
         else:
-            planar_cost_out = planar_cost
-        mu = mu_next
+            want_coarse = st.want_coarse
         cost_sums = jnp.stack(
             [
                 planar_cost,
@@ -932,17 +1035,6 @@ def scan_matching(
                 _psum(jnp.sum(costs.sphere), axis_name),
             ]
         )
-        ncorr = _psum(
-            jnp.stack(
-                [
-                    jnp.sum(corr.plane_valid),
-                    jnp.sum(corr.ground_valid),
-                    jnp.sum(corr.edge_valid),
-                    jnp.sum(corr.sphere_valid),
-                ]
-            ),
-            axis_name,
-        ).astype(jnp.int32)
         # planar-only convergence gate (registration.cpp:1108-1111) — with a
         # fail-safe the reference never needed: an EMPTY planar family has
         # cost identically 0, so the raw |delta| gate would declare
@@ -953,19 +1045,21 @@ def scan_matching(
             (jnp.abs(planar_cost - st.prev_planar_cost) < cfg.cost_threshold)
             & (ncorr[0] > 0)
             & ~use_coarse
+            & ~want_coarse
         )
         return _OuterState(
-            xi, new_w, mu, planar_cost_out, cost_sums, ncorr, st.it + 1, done
+            xi, new_w, mu, mu_inited, want_coarse, planar_cost_out, cost_sums,
+            ncorr, st.it + 1, done,
         )
 
     init = _OuterState(
         xi=xi0,
         weights=w0,
         mu=jnp.asarray(1.0, dtype),
+        mu_inited=jnp.asarray(False),
+        want_coarse=jnp.asarray(False),  # round 0 is always fine
         prev_planar_cost=jnp.asarray(jnp.inf, dtype),
         costs=jnp.zeros(4, dtype),
-        # large sentinel: round 0 must always be a FINE round (the coarse
-        # re-localization trigger reads the previous round's counts)
         num_corr=jnp.full((4,), 1 << 20, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),

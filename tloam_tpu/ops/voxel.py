@@ -723,6 +723,7 @@ def block_window_moments(
     valid: jax.Array,
     bt: BlockTable,
     cell_size,
+    return_cell: bool = False,
 ):
     """27-cell window moments about each cell's own anchor via the block
     store (same anchored parallel-axis math as anchored_window_moments —
@@ -734,7 +735,11 @@ def block_window_moments(
     nothing with a sub-128 minor dim is ever materialized.
 
     Returns (anchors (3,V), moments (cnt, sx..szz) each (V,), probe cache
-    (rows, found, parity) for reuse by same-window passes)."""
+    (rows, found, parity) for reuse by same-window passes). With
+    `return_cell`, additionally returns the PER-CELL moments (V, 10) about
+    the same anchors (no window aggregation) — the locality the reference's
+    per-query 5-NN fits have, needed for line fits where a 3-cell window
+    smears distinct structures together."""
     dtype = xyz.dtype
     V = bt.cx.shape[0]
     cs = jnp.asarray(cell_size, dtype)
@@ -791,6 +796,13 @@ def block_window_moments(
     )
     cache = (rows, found, parity)
     moments = tuple(out[:, i] for i in range(10))
+    if return_cell:
+        cell_rec = jnp.take(
+            store.reshape(B * 8, 16), jnp.minimum(bt.cell_store, B * 8 - 1),
+            axis=0,
+        )[:, :10]
+        cell_rec = cell_rec * bt.cell_valid[:, None].astype(dtype)
+        return anchors, moments, cache, cell_rec
     return anchors, moments, cache
 
 

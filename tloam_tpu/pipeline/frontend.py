@@ -56,7 +56,13 @@ class PipelineConfig:
     dcvc: DCVCConfig = dataclasses.field(default_factory=DCVCConfig)
     feature: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
     odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
-    sphere_submap_from_planar: bool = True  # reference quirk (front_end.cpp:240)
+    # Reference quirk (front_end.cpp:240,253): BOTH the sphere and planar
+    # submaps are assembled from the planar deque, so sphere scan features
+    # (isotropic, high-cvr) must find a PLANAR pick within the 0.45 m gate
+    # to match at all — measured 17/200 mean, 0 min sphere correspondences.
+    # Default False = the evident intent (sphere deque feeds the sphere
+    # submap); True reproduces the reference bit of behavior.
+    sphere_submap_from_planar: bool = False
     sphere_index_bug: bool = False
     # DCVC voxel table capacity: every CC-round scatter/gather scales with
     # this. HDL-64E urban scans occupy ~4-5k curved voxels (measured); 8192
