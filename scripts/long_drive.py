@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--rings", type=int, default=64)
     ap.add_argument("--az", type=int, default=1870)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--hard", action="store_true",
+        help="KITTI-realism add-ons (VERDICT r2 #9): 8 moving cars, "
+        "occlusion sector dropouts on ~25%% of frames, HDL-64 per-ring "
+        "azimuth stagger",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -42,6 +48,16 @@ def main():
     # stretches), which tests the scene, not the pipeline.
     scene = synthetic.Scene.town(np.random.default_rng(3), extent=140.0)
     gt = synthetic.varied_trajectory(args.frames, step=1.0)
+    if args.hard:
+        cars = synthetic.moving_cars(
+            args.frames, np.random.default_rng(11), n_cars=8, extent=140.0
+        )
+        occ = synthetic.occlusion_schedule(args.frames, np.random.default_rng(12))
+        stagger = 0.002
+    else:
+        cars = [None] * args.frames
+        occ = [None] * args.frames
+        stagger = 0.0
 
     state = frontend.init_state(cfg, jnp.float32)
     poses, degenerate_frames = [], 0
@@ -50,6 +66,7 @@ def main():
         xyz, inten = synthetic.simulate_scan(
             gt[i], scene, rings=args.rings, az_steps=args.az,
             rng=np.random.default_rng(i), noise=0.01,
+            boxes=cars[i], dropout_sectors=occ[i], ring_stagger=stagger,
         )
         raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
         state, pose, diag = frontend.odometry_step(state, raw, cfg)
@@ -86,7 +103,8 @@ def main():
         "drift_curve_every10": [round(float(d), 3) for d in drift[::10]],
         "degenerate_frames": degenerate_frames,
         "wall_s": round(wall, 1),
-        "regimes": "straight+turns+stop+reverse (synthetic.varied_trajectory)",
+        "regimes": "straight+turns+stop+reverse (synthetic.varied_trajectory)"
+        + (" + moving cars + occlusion dropouts + ring stagger" if args.hard else ""),
     }
     out = args.out or f"LONGDRIVE_r{args.round:02d}.json"
     with open(out, "w") as f:

@@ -47,14 +47,15 @@ def run_mode(overrides, scans, cap, n_warm):
     for i in range(n_warm):
         raw = Cloud.from_numpy(*scans[i], capacity=cap, dtype=jnp.float32)
         state, pose, diag = frontend.odometry_step_nodonate(state, raw, cfg)
-    jax.block_until_ready(pose)
+    np.asarray(pose)  # queue drain: axon relay's block_until_ready returns
+    # before execution finishes (see bench.py sync note)
     warm_s = time.time() - t0
 
     t0 = time.time()
     for i in range(n_warm, len(scans)):
         raw = Cloud.from_numpy(*scans[i], capacity=cap, dtype=jnp.float32)
         state, pose, diag = frontend.odometry_step_nodonate(state, raw, cfg)
-    jax.block_until_ready(pose)
+    np.asarray(pose)  # see warmup sync note
     dt = time.time() - t0
     n_timed = len(scans) - n_warm
     return {

@@ -129,10 +129,27 @@ def simulate_scan(
     max_range: float = 80.0,
     noise: float = 0.01,
     rng: np.random.Generator | None = None,
+    boxes: list | None = None,
+    dropout_sectors: list | None = None,
+    ring_stagger: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cast one scan from `pose` (sensor->world, sensor at z=+sensor_height
     above its local ground contact). Returns (xyz (N,3) sensor frame,
-    intensity (N,)) for hit rays only, ring-major azimuth-ordered."""
+    intensity (N,)) for hit rays only, ring-major azimuth-ordered.
+
+    KITTI-realism knobs (VERDICT r2 next #9):
+      boxes: per-FRAME dynamic obstacles (moving cars/trucks), each an AABB
+        (xmin, ymin, zmin, xmax, ymax, zmax) in WORLD coordinates at this
+        frame's timestamp — they both add non-static returns (which violate
+        the rigid-world assumption the solver makes, like real traffic does)
+        and occlude static structure behind them.
+      dropout_sectors: list of (az_lo, az_hi) SENSOR-frame azimuth intervals
+        (radians, in [0, 2pi), lo<hi) where returns drop with p=0.9 —
+        occlusion dropouts from close passers-by / self-occlusion.
+      ring_stagger: HDL-64 lasers are fired in a time-staggered order, so
+        each ring's azimuth grid is phase-shifted; stagger offsets ring r's
+        azimuths by (r % 4) * ring_stagger radians (0 = idealized grid).
+    """
     rng = rng or np.random.default_rng(0)
     R, t = pose[:3, :3], pose[:3, 3]
     origin = t + np.array([0.0, 0.0, sensor_height])
@@ -140,6 +157,8 @@ def simulate_scan(
     elevs = np.radians(np.linspace(min_elev_deg, max_elev_deg, rings))
     azims = np.linspace(0, 2 * np.pi, az_steps, endpoint=False)
     el, az = np.meshgrid(elevs, azims, indexing="ij")  # ring-major
+    if ring_stagger:
+        az = az + ((np.arange(rings) % 4) * ring_stagger)[:, None]
     dirs_s = np.stack(
         [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], -1
     ).reshape(-1, 3)
@@ -180,6 +199,19 @@ def simulate_scan(
         tb = t_in + rng.uniform(size=b.shape) * (t_out - t_in)
         tmin = np.minimum(tmin, np.where(hit, tb, np.inf))
 
+    # dynamic AABB obstacles (cars): slab-method ray/box intersection
+    for box in boxes or ():
+        lo = np.asarray(box[:3], float)
+        hi = np.asarray(box[3:], float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / dirs_w
+        t1 = (lo[None, :] - origin[None, :]) * inv
+        t2 = (hi[None, :] - origin[None, :]) * inv
+        t_near = np.max(np.minimum(t1, t2), axis=1)
+        t_far = np.min(np.maximum(t1, t2), axis=1)
+        hit = (t_far >= np.maximum(t_near, 0.0)) & (t_near > 0)
+        tmin = np.minimum(tmin, np.where(hit, t_near, np.inf))
+
     # poles (infinite cylinder capped at z_hi)
     for cx, cy, rad, z_hi in scene.poles:
         ox, oy = origin[0] - cx, origin[1] - cy
@@ -196,6 +228,12 @@ def simulate_scan(
         tmin = np.minimum(tmin, np.where(hit, tq, np.inf))
 
     hit_mask = np.isfinite(tmin) & (tmin >= min_range) & (tmin <= max_range)
+    if dropout_sectors:
+        az_flat = np.mod(az.reshape(-1), 2 * np.pi)
+        for lo_a, hi_a in dropout_sectors:
+            in_sector = (az_flat >= lo_a) & (az_flat < hi_a)
+            drop = in_sector & (rng.uniform(size=az_flat.shape) < 0.9)
+            hit_mask &= ~drop
     tmin = np.where(hit_mask, tmin, 0.0)
     pts_w = origin[None, :] + tmin[:, None] * dirs_w
     if noise > 0:
@@ -255,3 +293,58 @@ def varied_trajectory(n_frames: int, step: float = 1.0, seed: int = 0):
         y += v * s
         yaw += w
     return np.stack(poses)
+
+
+def moving_cars(
+    n_frames: int,
+    rng: np.random.Generator,
+    n_cars: int = 8,
+    extent: float = 120.0,
+    block: float = 40.0,
+):
+    """Per-frame dynamic obstacles for `Scene.town`: cars driving along the
+    street axes (streets run on the block grid). Returns a list of length
+    n_frames; element i is the list of world-frame AABBs to pass as
+    `simulate_scan(..., boxes=...)` for frame i.
+
+    Cars are ~4.4 x 1.8 x 1.5 m, drive at 0.4-1.8 m/frame (4-18 m/s at
+    10 Hz) in a lane offset ±(2-5) m from a street axis, both directions.
+    """
+    grid = np.arange(-extent, extent + 1e-6, block)
+    cars = []
+    for _ in range(n_cars):
+        axis = int(rng.integers(0, 2))  # 0: drives along x, 1: along y
+        street = float(rng.choice(grid))
+        lane = street + float(rng.uniform(2.0, 5.0)) * float(rng.choice([-1, 1]))
+        s0 = float(rng.uniform(-extent, extent))
+        v = float(rng.uniform(0.4, 1.8)) * float(rng.choice([-1, 1]))
+        cars.append((axis, lane, s0, v))
+    L, W, H = 4.4, 1.8, 1.5
+    frames = []
+    for i in range(n_frames):
+        boxes = []
+        for axis, lane, s0, v in cars:
+            s = s0 + v * i
+            # wrap around so cars stay in the scene for the whole drive
+            s = (s + extent) % (2 * extent) - extent
+            if axis == 0:
+                boxes.append((s - L / 2, lane - W / 2, 0.0, s + L / 2, lane + W / 2, H))
+            else:
+                boxes.append((lane - L / 2, s - W / 2, 0.0, lane + W / 2, s + W / 2, H))
+        frames.append(boxes)
+    return frames
+
+
+def occlusion_schedule(n_frames: int, rng: np.random.Generator, p: float = 0.25):
+    """Per-frame dropout sectors: with probability p a frame loses 1-2
+    azimuth sectors of 15-45 degrees (close passer-by / self-occlusion)."""
+    out = []
+    for _ in range(n_frames):
+        sectors = []
+        if rng.uniform() < p:
+            for _ in range(int(rng.integers(1, 3))):
+                width = np.radians(rng.uniform(15, 45))
+                lo = rng.uniform(0, 2 * np.pi - width)
+                sectors.append((float(lo), float(lo + width)))
+        out.append(sectors)
+    return out
