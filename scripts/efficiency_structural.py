@@ -134,7 +134,7 @@ def main():
             @partial(
                 jax.shard_map, mesh=m,
                 in_specs=(point_spec, rep, P(None, None)),
-                out_specs=(P(None, None), jax.tree.map(lambda _: P(), batched._diag_struct())),
+                out_specs=(P(None, None), jax.tree.map(lambda _: P(), batched._diag_struct(cfg))),
                 check_vma=False,
             )
             def solve(s, mm, p):

@@ -47,7 +47,10 @@ def main():
     # leaves its corridor (measured: planar corr -> 0 for whole frame
     # stretches), which tests the scene, not the pipeline.
     scene = synthetic.Scene.town(np.random.default_rng(3), extent=140.0)
-    gt = synthetic.varied_trajectory(args.frames, step=1.0)
+    # street-following route (straights + 3 turns + stop + reverse):
+    # varied_trajectory was built for open worlds and drove mid-block
+    # through town buildings — an unphysical instantaneous full-view flip
+    gt = synthetic.town_trajectory(args.frames, step=1.0)
     if args.hard:
         cars = synthetic.moving_cars(
             args.frames, np.random.default_rng(11), n_cars=8, extent=140.0
@@ -103,7 +106,7 @@ def main():
         "drift_curve_every10": [round(float(d), 3) for d in drift[::10]],
         "degenerate_frames": degenerate_frames,
         "wall_s": round(wall, 1),
-        "regimes": "straight+turns+stop+reverse (synthetic.varied_trajectory)"
+        "regimes": "straight+3 turns+stop+reverse (synthetic.town_trajectory)"
         + (" + moving cars + occlusion dropouts + ring stagger" if args.hard else ""),
     }
     out = args.out or f"LONGDRIVE_r{args.round:02d}.json"

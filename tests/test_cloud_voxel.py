@@ -122,3 +122,33 @@ def test_hash_grid_invalid_queries(rng):
         grid, jnp.asarray(pts[:10]), jnp.zeros(10, bool), 3
     )
     assert not np.any(np.asarray(ok))
+
+
+def test_voxel_downsample_overflow_thins_uniformly(rng):
+    """Capacity overflow must thin voxels uniformly across space, not keep
+    the first max_out in hash order (a wrapping-linear functional of the
+    cell coords, i.e. a spatially coherent half-space cut). Regression for
+    the f12 varied-drive collapse: the scan's ground features kept one
+    half-space, the accumulated submap the other, and every family starved
+    at once."""
+    import jax.numpy as jnp
+
+    from tloam_tpu.ops import voxel
+
+    n, cap = 20000, 2048
+    xyz = jnp.asarray(
+        np.c_[rng.uniform(-50, 50, (n, 2)), np.zeros((n, 1))], jnp.float32
+    )
+    x, _, v = voxel.voxel_downsample(
+        xyz, jnp.zeros(n), jnp.ones(n, bool), 0.3, cap
+    )
+    kept = np.asarray(x)[np.asarray(v)]
+    assert kept.shape[0] == cap  # cap fully used
+    # coverage: every 10x10 m tile of the 100x100 extent keeps points
+    tiles = set(map(tuple, np.floor(kept[:, :2] / 10.0).astype(int)))
+    assert len(tiles) == 100, len(tiles)
+    # under-capacity behavior unchanged: exact voxel centroids, all kept
+    x2, _, v2 = voxel.voxel_downsample(
+        xyz, jnp.zeros(n), jnp.ones(n, bool), 5.0, cap
+    )
+    assert int(np.asarray(v2).sum()) == 400

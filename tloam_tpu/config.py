@@ -180,6 +180,33 @@ class TLSConfig:
     # 2e-3 = mean |r| ~ 4.5 cm. Healthy tracking sits at ~1e-4; turn-onset /
     # startup misalignment at ~1e-2 (measured on the 120-frame drive).
     coarse_cost_thres: float = 2e-3
+    # misaligned-frame containment: when NO round of a solve passes the
+    # alignment gate (total-occlusion flip — a gateway/tunnel exit changes
+    # the whole view in one frame), keep the motion-model prediction instead
+    # of the solved pose: the solve converged onto the self-consistent
+    # nearby subset and carries the full misalignment (measured: solved
+    # 0.81 m off where the prediction was 0.16 m off). point_to_plane mode
+    # only (gicp costs have no metric alignment meaning).
+    #
+    # By default the flag only COMPUTES the signal: it feeds the frontend's
+    # submap health gate (a distrusted frame does not push features into the
+    # maps) and the motion-model rotation damping. The POSE override below
+    # is opt-in: at full scan density the solver is strong enough that
+    # overriding it with dead reckoning freezes genuine motion (measured: a
+    # turn tracked at 0.02 m/frame error with the override off dead-reckoned
+    # straight at 1.2 m/frame with it on); in starved regimes (reduced
+    # density, heavy occlusion) the override wins — enable it there.
+    misaligned_fallback: bool = True
+    misaligned_pose_fallback: bool = False
+    # fallback trigger fraction: distrust the solve only when the final
+    # round matched under THIS fraction of the planar candidates. Distinct
+    # from (and much lower than) relocal_frac: relocal_frac decides when a
+    # round is not yet "aligned" enough to engage GNC / skip coarse rounds
+    # (conservative is safe there); the fallback overrides a converged
+    # solve with dead reckoning, where conservatism has real cost —
+    # measured: a 44%-matched healthy recovery solve was held at a stale
+    # 0.35 m/frame fallback step for 3 extra frames by a 0.5 trigger.
+    fallback_frac: float = 0.2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,6 +228,23 @@ class OdometryConfig:
     mapping_flag: bool = False
     global_map_voxel: float = 1.0  # front_end.cpp:272 VoxelDownSample(1.0)
     global_map_cap: int = 262144
+    # submap health gate: a frame whose solve was degenerate or misaligned
+    # does NOT push its features into the submap (its pose is a motion-model
+    # guess — pushing transforms every feature by that guess and poisons the
+    # maps; measured: one misaligned frame put z in [-10, +2.6] garbage into
+    # the ground map). After `submap_gate_streak` CONSECUTIVE unhealthy
+    # frames the gate yields and pushes anyway: if the world really changed
+    # (occlusion flip), re-mapping from the new view is the only way back.
+    submap_health_gate: bool = True
+    submap_gate_streak: int = 2
+    # motion-model damping on unhealthy (degenerate/misaligned) frames: the
+    # fallback pose IS the prediction, so the same relative step re-applies
+    # every fallback frame — an erroneous yaw rate (measured -4.25 deg/frame
+    # for 3 straight frames post-occlusion) dead-reckons into metres of
+    # drift. A car's yaw rate decays fast when unobserved; its forward
+    # inertia does not: decay the rotation part of the step, keep
+    # translation. 1.0 = no damping.
+    fallback_rot_decay: float = 0.5
     tls: TLSConfig = dataclasses.field(default_factory=TLSConfig)
 
     # --- static buffer capacities (TPU build; power-of-two friendly) ---

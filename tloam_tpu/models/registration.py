@@ -69,6 +69,20 @@ class Diagnostics(NamedTuple):
     degenerate: jax.Array  # () bool — too few correspondences; pose fell
     # back to the motion-model prediction (reference aborts instead,
     # registration.cpp:928-929)
+    # () bool — no GNC round ever passed the alignment gate; the pose fell
+    # back to the motion-model prediction (see TLSConfig.misaligned_fallback)
+    misaligned: jax.Array | None = None
+    # Per-round solve trace (rows = GNC outer rounds, up to max_iterations;
+    # rounds not executed stay zero): correspondence counts per family,
+    # mean planar cost after the round's inner solve, whether the round
+    # matched against the coarse grid, and whether its converged solution
+    # passed the alignment gate. The per-frame observability that made the
+    # f12-class "solve walks away from a good prediction" failures
+    # diagnosable at all.
+    corr_trace: jax.Array | None = None  # (max_iter, 4) int32
+    cost_trace: jax.Array | None = None  # (max_iter,) mean planar cost
+    coarse_trace: jax.Array | None = None  # (max_iter,) bool
+    aligned_trace: jax.Array | None = None  # (max_iter,) bool
     # Per-frame DCVC cluster AABBs, attached by the pipeline step (the
     # reference publishes them, segmentation.cpp:1032-1078); None when the
     # solver is called standalone.
@@ -756,6 +770,11 @@ class _OuterState(NamedTuple):
     num_corr: jax.Array  # (4,)
     it: jax.Array
     done: jax.Array
+    prev_mean_planar: jax.Array  # () mean planar cost of the last KEPT round
+    corr_trace: jax.Array  # (max_iter, 4) int32 — per-round family counts
+    cost_trace: jax.Array  # (max_iter,) mean planar cost per round
+    coarse_trace: jax.Array  # (max_iter,) bool — round used the coarse grid
+    aligned_trace: jax.Array  # (max_iter,) bool — round passed alignment
 
 
 def _psum(x, axis_name):
@@ -772,6 +791,7 @@ def scan_matching(
     predict_pose: jax.Array,
     cfg: TLSConfig,
     axis_name: str | None = None,
+    allow_fallback: jax.Array | bool = True,
 ) -> tuple[jax.Array, Diagnostics]:
     """Register one frame's features against the submap.
 
@@ -888,8 +908,13 @@ def scan_matching(
     # covariance-normalized scale
     gate_on_alignment = cfg.plane_residual == "point_to_plane"
     # planar candidate count for the match-fraction trigger (see
-    # TLSConfig.relocal_frac)
-    n_planar_cand = _psum(jnp.sum(scan.planar.valid), axis_name)
+    # TLSConfig.relocal_frac). Clamped at the family cap: with the cap
+    # binding, ncorr can never exceed planar_maxnum, so an uncapped
+    # denominator would make frac_ok unattainable and the alignment gate
+    # permanently false.
+    n_planar_cand = jnp.minimum(
+        _psum(jnp.sum(scan.planar.valid), axis_name), cfg.planar_maxnum
+    )
 
     def outer_body(st: _OuterState) -> _OuterState:
         # A round is a COARSE round when the PREVIOUS fine round ended
@@ -951,6 +976,31 @@ def scan_matching(
             ),
             axis_name,
         ).astype(jnp.int32)
+        mean_planar = planar_cost / jnp.maximum(ncorr[0], 1)
+
+        # Monotonicity guard on WEIGHTED rounds (outer-round trust region).
+        # The first weighted round after mu seeding can explode: with mu
+        # seeded tiny (one large max residual — the edge family's
+        # (sum components)^2 quirk produces 0.1+ costs), th2 collapses and
+        # the transition-band weight sqrt(eps^2 mu (mu+1)/r) spreads as
+        # 1/sqrt(r) over ~200x, so a handful of lucky near-zero-residual
+        # points dominate the normal equations and the solve slides ~1 m
+        # along the weakest geometric direction (measured at turn apexes:
+        # mean planar cost 1.7e-4 -> 0.89 in one round). When a weighted
+        # fine round multiplies the mean planar cost by >4 (and above the
+        # alignment gate), REVERT its xi and reset the weights to 1; mu has
+        # already ramped e^gnc_factor, which lifts th2 ~1e5x and collapses
+        # the weight spread, so the re-engaged update next round is sane.
+        # The reference never needed this: Ceres' SUBSPACE_DOGLEG trust
+        # region bounds the damage of the same weight spread
+        # (registration.cpp:1040).
+        revert = (
+            st.mu_inited
+            & ~use_coarse
+            & (mean_planar > jnp.maximum(4.0 * st.prev_mean_planar,
+                                         cfg.coarse_cost_thres))
+            & (ncorr[0] > 0)
+        )
 
         # Alignment test on this round's converged solution: GNC (mu seeding
         # + weight updates) only engages once the scan is roughly aligned.
@@ -960,15 +1010,14 @@ def scan_matching(
         # correspondences, and a weight update with the initial mu=1 kills
         # anything above ~1.4cm outright (both measured on the 120-frame
         # varied drive).
-        mean_planar = planar_cost / jnp.maximum(ncorr[0], 1)
         if gate_on_alignment:
             frac_ok = ncorr[0] >= cfg.relocal_frac * n_planar_cand
             aligned = (
                 (mean_planar <= cfg.coarse_cost_thres) & frac_ok
-                & (ncorr[0] > 0) & ~use_coarse
+                & (ncorr[0] > 0) & ~use_coarse & ~revert
             )
         else:
-            aligned = (ncorr[0] > 0) & ~use_coarse
+            aligned = (ncorr[0] > 0) & ~use_coarse & ~revert
 
         # mu initialisation on the first aligned fine round (reference:
         # registration.cpp:1027-1033, executed before the first solve).
@@ -985,7 +1034,9 @@ def scan_matching(
             )
             max_r = _pmax(max_r, axis_name)
             mu = jnp.where(
-                first_fine, res.gnc_init_mu(max_r, noise_bound_sq), st.mu
+                first_fine,
+                res.gnc_init_mu(max_r, noise_bound_sq, inlier_mu=1e6),
+                st.mu,
             )
         mu_inited = st.mu_inited | first_fine
 
@@ -1004,10 +1055,17 @@ def scan_matching(
                 st.weights.sphere, costs.sphere, noise_bound_sq, th1, th2, mu
             ),
         )
-        # weights/mu advance only on aligned fine rounds with mu seeded
+        # weights/mu advance only on aligned fine rounds with mu seeded.
+        # On a REVERTED round the exploded costs must not drive the update
+        # (they would zero every weight); reset the weights to 1 instead —
+        # the next round re-solves unweighted from the reverted (good) xi,
+        # and its update re-engages with the ramped (softer) mu.
         do_update = mu_inited & ~use_coarse
         new_w = jax.tree.map(
             lambda old, new: jnp.where(do_update, new, old), st.weights, new_w
+        )
+        new_w = jax.tree.map(
+            lambda w_: jnp.where(revert, jnp.ones_like(w_), w_), new_w
         )
         mu = jnp.where(
             do_update,
@@ -1023,7 +1081,9 @@ def scan_matching(
         # the fine round that follows)
         if has_coarse:
             want_coarse = (
-                (~aligned | (ncorr[0] < cfg.relocal_corr_thres)) & ~use_coarse
+                (~aligned | (ncorr[0] < cfg.relocal_corr_thres))
+                & ~use_coarse
+                & ~revert  # reverted to a good xi: next fine round refines
             )
         else:
             want_coarse = st.want_coarse
@@ -1046,10 +1106,19 @@ def scan_matching(
             & (ncorr[0] > 0)
             & ~use_coarse
             & ~want_coarse
+            & ~revert
+        )
+        xi = jnp.where(revert, st.xi, xi)
+        prev_mean = jnp.where(
+            use_coarse | revert, st.prev_mean_planar, mean_planar
         )
         return _OuterState(
             xi, new_w, mu, mu_inited, want_coarse, planar_cost_out, cost_sums,
-            ncorr, st.it + 1, done,
+            ncorr, st.it + 1, done, prev_mean,
+            st.corr_trace.at[st.it].set(ncorr),
+            st.cost_trace.at[st.it].set(mean_planar),
+            st.coarse_trace.at[st.it].set(use_coarse),
+            st.aligned_trace.at[st.it].set(aligned),
         )
 
     init = _OuterState(
@@ -1063,6 +1132,11 @@ def scan_matching(
         num_corr=jnp.full((4,), 1 << 20, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
+        prev_mean_planar=jnp.asarray(jnp.inf, dtype),
+        corr_trace=jnp.zeros((cfg.max_iterations, 4), jnp.int32),
+        cost_trace=jnp.zeros(cfg.max_iterations, dtype),
+        coarse_trace=jnp.zeros(cfg.max_iterations, bool),
+        aligned_trace=jnp.zeros(cfg.max_iterations, bool),
     )
 
     # Fixed-trip loop with done-masking instead of while_loop: the early-exit
@@ -1080,9 +1154,43 @@ def scan_matching(
     # degenerate-frame containment: with too few correspondences the normal
     # equations are ill-posed — keep the motion-model prediction.
     degenerate = jnp.sum(final.num_corr) < cfg.min_total_corr
-    pose = jnp.where(degenerate, predict_pose.astype(dtype), pose)
+    # misaligned-frame containment: if NO round ever passed the alignment
+    # gate, the solve converged onto a self-consistent nearby subset while
+    # the bulk of the scan stayed unmatched — the classic total-occlusion
+    # flip (a gateway/tunnel exit changes the whole view in one frame;
+    # measured on the varied drive: solved pose 0.81 m off where the
+    # constant-velocity prediction was 0.16 m off). Trust the motion model
+    # for this frame; matching re-engages against it next frame.
+    if gate_on_alignment and cfg.misaligned_fallback:
+        # The trigger is STARVATION only: a never-aligned solve whose final
+        # round matched under fallback_frac of the planar candidates (the
+        # unmatched bulk carries the error). Two rejected alternatives,
+        # both measured on the 60/120-frame drives:
+        #   * the cost gate alone misfires at low scan density (cell-window
+        #     planes over 24-ring scans floor the mean planar cost at ~5e-3
+        #     with the pose perfectly healthy);
+        #   * a deviation-from-prediction ("implausibility") clause vetoes
+        #     the LEGITIMATE large corrections of turn onset — the
+        #     prediction is structurally behind through a turn, each veto
+        #     makes the next round's correction larger, and the cascade
+        #     dead-reckons straight through the whole turn (1.2 m/frame).
+        # `allow_fallback` lets the caller veto dead reckoning where the
+        # motion model itself is untrustworthy (startup, long streaks).
+        starved = final.num_corr[0] < cfg.fallback_frac * n_planar_cand
+        misaligned = (
+            ~jnp.any(final.aligned_trace)
+            & starved
+            & jnp.asarray(allow_fallback)
+        )
+    else:
+        misaligned = jnp.asarray(False)
+    pose_override = misaligned if cfg.misaligned_pose_fallback else jnp.asarray(False)
+    pose = jnp.where(degenerate | pose_override, predict_pose.astype(dtype), pose)
     return pose, Diagnostics(
-        final.it, final.mu, final.costs, final.num_corr, degenerate
+        final.it, final.mu, final.costs, final.num_corr, degenerate,
+        misaligned=misaligned,
+        corr_trace=final.corr_trace, cost_trace=final.cost_trace,
+        coarse_trace=final.coarse_trace, aligned_trace=final.aligned_trace,
     )
 
 

@@ -170,11 +170,32 @@ def plane_to_plane(
 # ---------------------------------------------------------------------------
 
 
-def gnc_init_mu(max_residual: jax.Array, noise_bound_sq: jax.Array) -> jax.Array:
-    """mu init on iteration 0: mu = 1/(2 r_max / eps^2 - 1), clamped to 1e-10
-    if non-positive (registration.cpp:1027-1033)."""
+def gnc_init_mu(
+    max_residual: jax.Array,
+    noise_bound_sq: jax.Array,
+    inlier_mu: float = 1e-10,
+) -> jax.Array:
+    """mu init on iteration 0: mu = 1/(2 r_max / eps^2 - 1)
+    (registration.cpp:1027-1033).
+
+    The denominator goes non-positive exactly when 2*r_max <= eps^2 — the
+    ALL-INLIER regime (every residual already inside the noise bound).
+    `inlier_mu` picks that branch's value:
+      * 1e-10 (default) reproduces the reference's clamp. NOTE this is
+        catastrophic as a live schedule: with mu ~ 1e-10 the transition-band
+        weight sqrt(eps^2 mu (mu+1)/r) spreads as 1/sqrt(r) over orders of
+        magnitude, so quasi-zero-residual points dominate the normal
+        equations and a CONVERGED solve explodes (measured: mean planar cost
+        1.7e-4 -> 0.89 in one weighted round). The reference survives only
+        because its mu ramps ~e^11.8 per iteration while Ceres' trust region
+        bounds the damage.
+      * large (e.g. 1e6): th2 = eps^2 mu/(mu+1) ~ eps^2 >= 2 r_max, so every
+        cost sits below th2 and keeps weight 1 — GNC-TLS proper: with no
+        outliers the convex surrogate is already exact and truncation stays
+        off. Used by TLSConfig.mu_init="residual".
+    """
     mu = 1.0 / (2.0 * max_residual / noise_bound_sq - 1.0)
-    return jnp.where(mu <= 0.0, jnp.asarray(1e-10, mu.dtype), mu)
+    return jnp.where(mu <= 0.0, jnp.asarray(inlier_mu, mu.dtype), mu)
 
 
 def gnc_thresholds(mu: jax.Array, noise_bound_sq: jax.Array):

@@ -98,7 +98,7 @@ def distributed_scan_matching(
         shard_map,
         mesh=mesh,
         in_specs=(point_spec, rep_submap, P(None, None)),
-        out_specs=(P(None, None), jax.tree.map(lambda _: P(), _diag_struct())),
+        out_specs=(P(None, None), jax.tree.map(lambda _: P(), _diag_struct(cfg))),
         check_vma=False,
     )
     def solve(scan_local, submap_local, predict):
@@ -107,14 +107,20 @@ def distributed_scan_matching(
     return jax.jit(solve)(scan, submap, predict_pose)
 
 
-def _diag_struct():
+def _diag_struct(cfg: TLSConfig):
     """Pytree structure template for Diagnostics out_specs."""
     from tloam_tpu.models.registration import Diagnostics
 
+    mi = cfg.max_iterations
     return Diagnostics(
         iterations=jnp.int32(0),
         mu=0.0,
         costs=jnp.zeros(4),
         num_corr=jnp.zeros(4, jnp.int32),
         degenerate=jnp.asarray(False),
+        misaligned=jnp.asarray(False),  # scan_matching always emits it
+        corr_trace=jnp.zeros((mi, 4), jnp.int32),
+        cost_trace=jnp.zeros(mi),
+        coarse_trace=jnp.zeros(mi, bool),
+        aligned_trace=jnp.zeros(mi, bool),
     )

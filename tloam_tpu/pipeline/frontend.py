@@ -123,6 +123,9 @@ class OdometryState(NamedTuple):
     predict: jax.Array
     frame_idx: jax.Array  # () int32
     global_map: Cloud  # 1.0 m global map (capacity 1 when mapping_flag off)
+    # consecutive degenerate/misaligned frames (submap health gate — see
+    # OdometryConfig.submap_health_gate)
+    unhealthy_streak: jax.Array = None  # () int32
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +380,7 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdometryState:
         predict=jnp.eye(4, dtype=dtype),
         frame_idx=jnp.asarray(0, jnp.int32),
         global_map=Cloud.empty(map_cap, dtype),
+        unhealthy_streak=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -406,12 +410,18 @@ def _odometry_step_impl(
 
     def first_frame(st: OdometryState):
         submap = seed_submap(st.submap, feats, cfg)
+        mi = cfg.odometry.tls.max_iterations
         diag = Diagnostics(
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0.0, raw.xyz.dtype),
             jnp.zeros(4, raw.xyz.dtype),
             jnp.zeros(4, jnp.int32),
             jnp.asarray(False),
+            misaligned=jnp.asarray(False),
+            corr_trace=jnp.zeros((mi, 4), jnp.int32),
+            cost_trace=jnp.zeros(mi, raw.xyz.dtype),
+            coarse_trace=jnp.zeros(mi, bool),
+            aligned_trace=jnp.zeros(mi, bool),
         )
         gmap = (
             _accumulate_global_map(st.global_map, raw, st.pose, cfg)
@@ -426,11 +436,49 @@ def _odometry_step_impl(
 
     def normal_frame(st: OdometryState):
         submap = submap_features(st.submap, cfg)
-        pose, diag = scan_matching(feats.scan, submap, st.predict, cfg.odometry.tls)
-        # constant-velocity prediction (front_end.cpp:329-332)
+        # fallback veto: at frame 1 the motion model is identity with zero
+        # velocity (nothing to dead-reckon from), and after 3 consecutive
+        # fallbacks the prediction has drifted enough that a genuine
+        # re-localization solve would look "implausible" against it — both
+        # cases must trust the solver.
+        allow_fb = (st.frame_idx > 1) & (st.unhealthy_streak < 3)
+        pose, diag = scan_matching(
+            feats.scan, submap, st.predict, cfg.odometry.tls,
+            allow_fallback=allow_fb,
+        )
+        unhealthy = diag.degenerate | (
+            diag.misaligned if diag.misaligned is not None else jnp.asarray(False)
+        )
+        # constant-velocity prediction (front_end.cpp:329-332). On unhealthy
+        # frames the solved pose IS the prediction, so the same step would
+        # re-apply verbatim — decay its rotation (see
+        # OdometryConfig.fallback_rot_decay).
         step = se3.inv(st.last_pose) @ pose
+        if cfg.odometry.fallback_rot_decay != 1.0:
+            xi_step = se3.log(step)
+            rot_scale = jnp.where(
+                unhealthy, cfg.odometry.fallback_rot_decay, 1.0
+            ).astype(xi_step.dtype)
+            step = se3.exp(xi_step.at[3:].multiply(rot_scale))
         predict = pose @ step
         new_submap = update_submap(st.submap, feats, pose, cfg)
+        # submap health gate (OdometryConfig.submap_health_gate): a frame
+        # whose solve was degenerate or misaligned carries a motion-model
+        # guess, not a measured pose — pushing its features would poison
+        # every map. Skip the push, UNLESS this is the submap_gate_streak-th
+        # consecutive unhealthy frame: then the world view genuinely changed
+        # (occlusion flip) and re-mapping from the new view is the only
+        # recovery.
+        if cfg.odometry.submap_health_gate:
+            streak = jnp.where(unhealthy, st.unhealthy_streak + 1, 0)
+            push = (~unhealthy) | (streak >= cfg.odometry.submap_gate_streak)
+            new_submap = jax.tree.map(
+                lambda new, old: jnp.where(push, new, old),
+                new_submap,
+                st.submap,
+            )
+        else:
+            streak = st.unhealthy_streak
         gmap = (
             _accumulate_global_map(st.global_map, raw, pose, cfg)
             if cfg.odometry.mapping_flag
@@ -444,6 +492,7 @@ def _odometry_step_impl(
                 predict=predict,
                 frame_idx=st.frame_idx + 1,
                 global_map=gmap,
+                unhealthy_streak=streak,
             ),
             pose,
             diag,

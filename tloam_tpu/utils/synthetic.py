@@ -29,6 +29,13 @@ class Scene:
     # that classify as SPHERE features (the reference's cvr>0.15 gate,
     # feature_extract.cpp:151-163); KITTI streets are full of them.
     bushes: list = dataclasses.field(default_factory=list)
+    # static AABBs (parked cars, dumpsters): (xmin,ymin,zmin,xmax,ymax,zmax).
+    # KITTI streets are lined with parked cars; they are the dominant source
+    # of ALONG-street structure (wall fronts only constrain the cross-street
+    # direction), without which a street-following drive is longitudinally
+    # unobservable near intersection wall gaps (measured: 0.9 m/frame
+    # startup loss on the town route before these existed).
+    boxes: list = dataclasses.field(default_factory=list)
 
     @staticmethod
     def urban(rng: np.random.Generator | None = None, extent: float = 60.0) -> "Scene":
@@ -42,10 +49,17 @@ class Scene:
                 if rng.uniform() < 0.8:
                     walls.append((1, y + rng.uniform(-1, 1), x0, x0 + seg, 0.0, rng.uniform(3, 8)))
                 x0 += seg + rng.uniform(0, 4)
-        # a few cross walls
+        # cross walls flanking the lane (longitudinal structure). They stop
+        # short of the driving corridor |y| < 3: the original versions
+        # spanned y in [-8..-4, 4..8] THROUGH y=0, so any trajectory down
+        # the street drove *through* them — an unphysical instantaneous
+        # 100%-view flip no real drive produces (the sensor teleports
+        # through a solid wall). Real occlusion events are covered by
+        # simulate_scan's dropout_sectors / moving cars instead.
         for _ in range(6):
             x = rng.uniform(-extent, extent)
-            walls.append((0, x, rng.uniform(-8, -4), rng.uniform(4, 8), 0.0, rng.uniform(2, 5)))
+            walls.append((0, x, rng.uniform(-8, -6), rng.uniform(-4, -3), 0.0, rng.uniform(2, 5)))
+            walls.append((0, x + rng.uniform(-2, 2), rng.uniform(3, 4), rng.uniform(6, 8), 0.0, rng.uniform(2, 5)))
         poles = [
             (rng.uniform(-extent, extent), rng.uniform(-7, 7) * rng.choice([1]), 0.15, rng.uniform(2.5, 5.0))
             for _ in range(40)
@@ -114,7 +128,28 @@ class Scene:
             )
             for _ in range(120)
         ]
-        return Scene(walls, poles, bushes)
+        # parked cars lining both sides of every street (see Scene.boxes)
+        boxes = []
+        L, W, H = 4.3, 1.7, 1.4
+        for axis in (0, 1):
+            for g in grid:
+                for side in (-6.5, 6.5):
+                    s0 = -extent
+                    while s0 < extent:
+                        s0 += rng.uniform(10, 28)
+                        lane = g + side + rng.uniform(-0.5, 0.5)
+                        if rng.uniform() < 0.55:
+                            if axis == 0:  # street along y at x=g
+                                boxes.append(
+                                    (lane - W / 2, s0 - L / 2, 0.0,
+                                     lane + W / 2, s0 + L / 2, H)
+                                )
+                            else:
+                                boxes.append(
+                                    (s0 - L / 2, lane - W / 2, 0.0,
+                                     s0 + L / 2, lane + W / 2, H)
+                                )
+        return Scene(walls, poles, bushes, boxes)
 
 
 def simulate_scan(
@@ -199,8 +234,9 @@ def simulate_scan(
         tb = t_in + rng.uniform(size=b.shape) * (t_out - t_in)
         tmin = np.minimum(tmin, np.where(hit, tb, np.inf))
 
-    # dynamic AABB obstacles (cars): slab-method ray/box intersection
-    for box in boxes or ():
+    # AABB obstacles — static scene boxes (parked cars) + per-frame dynamic
+    # ones (moving traffic): slab-method ray/box intersection
+    for box in list(scene.boxes) + list(boxes or ()):
         lo = np.asarray(box[:3], float)
         hi = np.asarray(box[3:], float)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -292,6 +328,56 @@ def varied_trajectory(n_frames: int, step: float = 1.0, seed: int = 0):
         x += v * c
         y += v * s
         yaw += w
+    return np.stack(poses)
+
+
+def town_trajectory(n_frames: int, step: float = 1.0, block: float = 40.0):
+    """Street-following ground truth for `Scene.town`: straights, two 90-deg
+    left turns and one right turn at intersections (0.098 rad/frame — a
+    ~10 m turning radius), a stop, and a reverse segment — every hard
+    regime of `varied_trajectory`, but routed along the block grid so the
+    path never passes through a building (varied_trajectory was designed
+    for open/corridor worlds; in the town it drove mid-block through walls,
+    an unphysical instantaneous full-view flip). Turn arcs cross wall rows
+    only inside the intersection gaps Scene.town leaves (near_cross < 10)."""
+    R_frames = 16  # quarter turn
+    w = (np.pi / 2) / R_frames / step  # rad per unit step
+    segs = [
+        (36, step, 0.0),         # west->east along the y=0 street
+        (R_frames, step, w),     # left onto the x=0 street, heading north
+        (20, step, 0.0),
+        (7, 0.0, 0.0),           # stop-and-go
+        (10, -0.5 * step, 0.0),  # reverse
+        (R_frames, step, -w),    # right onto the y=block street, heading east
+        (59, step, 0.0),
+        (R_frames, step, w),     # left onto the x=2*block street, north
+    ]
+    # start mid-block (dense building fronts both sides): intersection wall
+    # gaps leave the first frames longitudinally under-constrained, and with
+    # an identity motion model the startup frame has no prediction to lean
+    # on — real KITTI sequences likewise begin in feature-rich streets
+    x, y, yaw = -46.0, 0.0, 0.0
+    poses = []
+
+    def emit():
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        T[0, 3], T[1, 3] = x, y
+        poses.append(T)
+
+    for n, v, wr in segs:
+        for _ in range(n):
+            if len(poses) >= n_frames:
+                return np.stack(poses)
+            emit()
+            x += v * np.cos(yaw)
+            y += v * np.sin(yaw)
+            yaw += wr * abs(v) if v else 0.0
+    while len(poses) < n_frames:
+        emit()
+        x += step * np.cos(yaw)
+        y += step * np.sin(yaw)
     return np.stack(poses)
 
 
