@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--rings", type=int, default=64)
     ap.add_argument("--az", type=int, default=1870)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     ap.add_argument(
         "--hard", action="store_true",
         help="KITTI-realism add-ons (VERDICT r2 #9): 8 moving cars, "
@@ -40,7 +41,9 @@ def main():
     from tloam_tpu.pipeline import frontend
     from tloam_tpu.utils import synthetic, trajectory
 
-    cfg = frontend.PipelineConfig()
+    from tloam_tpu.config import load_pipeline_config
+
+    cfg = load_pipeline_config(None, args.set)
     cap = 1 << int(np.ceil(np.log2(args.rings * args.az)))
     # Manhattan town: turns lead into cross streets, like real urban
     # driving — the single-street `urban` scene starves any path that
