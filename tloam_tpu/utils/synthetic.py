@@ -69,7 +69,10 @@ class Scene:
         # sphere submap IS the planar deque, front_end.cpp:221-229)
         bushes = []
         for axis, coord, lo0, hi0, _, _ in walls:
-            if axis != 1 or rng.uniform() > 0.5:
+            # hedge rows on ~80% of street-front walls (0.5 starved the
+            # sphere family to 0 correspondences on some bench frames —
+            # KITTI streets have near-continuous vegetation/clutter rows)
+            if axis != 1 or rng.uniform() > 0.8:
                 continue
             x0 = lo0
             while x0 < hi0:
@@ -78,7 +81,7 @@ class Scene:
                 bushes.append(
                     (x0 + r, coord + side * r * 0.7, r * 0.9, r)
                 )
-                x0 += 2 * r + rng.uniform(0.5, 6.0)
+                x0 += 2 * r + rng.uniform(0.5, 3.5)
         return Scene(walls, poles, bushes)
 
     @staticmethod
