@@ -30,7 +30,13 @@ def test_varied_drive_60_frames():
         odometry=dataclasses.replace(
             CFG.odometry,
             tls=dataclasses.replace(
-                CFG.odometry.tls, misaligned_pose_fallback=True
+                CFG.odometry.tls,
+                misaligned_pose_fallback=True,
+                # 5 rounds at reduced density: extra rounds let aliased
+                # solves wander (measured 3.93 m final at 7 vs 2.92 at 5);
+                # the 7-round default pays off only at full density where
+                # alignment-gated early exit bounds healthy frames
+                max_iterations=5,
             ),
         ),
     )

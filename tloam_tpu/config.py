@@ -93,12 +93,25 @@ class TLSConfig:
     planar_maxnum: int = 2500
     ground_dist_thres: float = 0.5
     ground_maxnum: int = 2000
-    # reference: 4 (lidar_odometry.yaml). Round 0 here is a coarse wide-basin
-    # round (see coarse_scale), so 5 keeps the reference's 4 fine
-    # match-and-solve rounds.
-    max_iterations: int = 5
+    # reference: 4 (lidar_odometry.yaml). Healthy frames exit early through
+    # the alignment gate (exit_cost_thres below), so raising the ceiling
+    # only spends rounds on frames that are still converging — measured: a
+    # reverse->forward turn recovers ~60-70% of its 3.4 deg/frame yaw lag
+    # per 5-round frame and accumulates a 33 deg error; 7 rounds close the
+    # per-frame gap.
+    max_iterations: int = 7
     inner_iterations: int = 4  # ceres options.max_num_iterations
     cost_threshold: float = 5e-9
+    # alignment-based early exit (in addition to the reference's planar
+    # cost-delta gate, which needs f64 bit-stability and in practice never
+    # fires in f32): a round that is aligned, has GNC engaged (so at least
+    # one weighted outlier pass ran), sits below this mean planar cost, and
+    # is at least the 3rd round is converged — measured healthy tracking
+    # runs at ~3e-5 m^2 and rounds 3/4/5 reproduce the same cost to noise.
+    # 0 disables. This is what lets max_iterations=7 cost nothing on
+    # healthy frames (they exit at 3 rounds; only still-converging frames
+    # spend the ceiling).
+    exit_cost_thres: float = 1e-4
     gnc_factor: float = 11.8
     noise_bound: float = 0.01
     fitness_thres: float = 0.02

@@ -1108,6 +1108,17 @@ def scan_matching(
             & ~want_coarse
             & ~revert
         )
+        if cfg.exit_cost_thres:
+            # alignment-based early exit (TLSConfig.exit_cost_thres): the
+            # f32 cost-delta gate above essentially never fires; this is
+            # what makes a high max_iterations ceiling free on healthy
+            # frames while still-converging frames spend all of it
+            done = done | (
+                aligned
+                & mu_inited
+                & (mean_planar < cfg.exit_cost_thres)
+                & (st.it >= 2)
+            )
         xi = jnp.where(revert, st.xi, xi)
         prev_mean = jnp.where(
             use_coarse | revert, st.prev_mean_planar, mean_planar
