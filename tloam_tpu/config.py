@@ -110,8 +110,13 @@ class TLSConfig:
     # runs at ~3e-5 m^2 and rounds 3/4/5 reproduce the same cost to noise.
     # 0 disables. This is what lets max_iterations=7 cost nothing on
     # healthy frames (they exit at 3 rounds; only still-converging frames
-    # spend the ceiling).
-    exit_cost_thres: float = 1e-4
+    # spend the ceiling). 3e-4 (mean |r| ~ 1.7 cm): full-density healthy
+    # tracking sits at 1-2e-4 — a 1e-4 threshold left bench frames just
+    # above it, paying all 7 rounds (15.2 fps); at 3e-4 they exit at round
+    # 3 (18.1 fps) and the hard-drive accuracy IMPROVES (t_err 5.64 ->
+    # 4.97%, r_err 5.46 -> 3.71 deg/100m — late rounds on converged frames
+    # only let aliased matches wander).
+    exit_cost_thres: float = 3e-4
     gnc_factor: float = 11.8
     noise_bound: float = 0.01
     fitness_thres: float = 0.02
