@@ -29,6 +29,7 @@ def main():
     coordinator, num_procs, proc_id, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "points"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -53,6 +54,56 @@ def main():
     scan, submap, T_true = make_pair(rng, dtype=jnp.float64)
 
     n_dev = num_procs * 2
+
+    if mode == "frames":
+        # frames-axis data parallelism (SURVEY §2.3, VERDICT r3 missing #3):
+        # a 4-frame batch sharded one frame per device across the process
+        # boundary; per-frame solves are independent, so the only cross-host
+        # traffic is the gathered outputs.
+        mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("frames",))
+        B = n_dev
+
+        def batch(tree):
+            return jax.tree.map(
+                lambda x: np.broadcast_to(
+                    np.asarray(x)[None], (B,) + np.asarray(x).shape
+                ),
+                tree,
+            )
+
+        b_scan, b_submap = batch(scan), batch(submap)
+        b_predict = np.broadcast_to(np.eye(4)[None], (B, 4, 4))
+
+        def globalize_frames(tree):
+            def place(x):
+                spec = P("frames", *([None] * (x.ndim - 1)))
+                s = NamedSharding(mesh, spec)
+                return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+            return jax.tree.map(place, tree)
+
+        g = (globalize_frames(b_scan), globalize_frames(b_submap),
+             globalize_frames(b_predict))
+
+        @jax.jit
+        def solve_frames(s, mm, p):
+            pose, _ = jax.vmap(
+                lambda sc, m_, pr: scan_matching(sc, m_, pr, CFG)
+            )(s, mm, p)
+            return pose
+
+        poses = jax.block_until_ready(solve_frames(*g))
+        # every device holds one frame's pose; fetch the locally-addressable
+        # shards and tag them with their global frame index
+        local = {
+            int(sh.index[0].start): np.asarray(sh.data)[0]
+            for sh in poses.addressable_shards
+        }
+        np.savez(os.path.join(outdir, f"frames_{proc_id}.npz"),
+                 **{str(k): v for k, v in local.items()})
+        print(f"proc {proc_id}: frames mode done", flush=True)
+        return
+
     mesh = Mesh(np.asarray(jax.devices()).reshape(1, n_dev), ("frames", "points"))
 
     # build GLOBAL sharded arrays; every process holds the same full array

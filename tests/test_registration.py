@@ -150,3 +150,65 @@ def test_fitness_score_aligned_vs_misaligned(rng):
     shifted = FeatureSet(*(c.translate(jnp.asarray([0.0, 0, 50.0])) for c in fs))
     fit_far, _ = fitness_score(shifted, fs, CFG)
     assert float(fit_far) < 0.1
+
+
+def manhattan_canyon(rng):
+    """Long street canyon at real map scale: walls at y=+-7 spanning
+    x in [-45, 45], ground, sparse corner poles. At this scale a ~6 deg
+    yaw miss is a genuine local-minimum trap for plain GN: near wall
+    points slide freely along the wall while the yaw-informative distant
+    points fall outside every fine match gate (the measured frame-37
+    failure of DIAG_REVERSE, round 4)."""
+    gx, gy = np.meshgrid(np.linspace(-45, 45, 180), np.linspace(-7, 7, 24))
+    ground = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], -1)
+    wx, wz = np.meshgrid(np.linspace(-45, 45, 280), np.linspace(0.2, 5, 14))
+    wall1 = np.stack([wx.ravel(), np.full(wx.size, 7.0), wz.ravel()], -1)
+    wall2 = np.stack([wx.ravel(), np.full(wx.size, -7.0), wz.ravel()], -1)
+    # cross-street facades at the far ends (what actually pins x)
+    cy, cz = np.meshgrid(np.linspace(-7, 7, 40), np.linspace(0.2, 5, 14))
+    cap1 = np.stack([np.full(cy.size, 45.0), cy.ravel(), cz.ravel()], -1)
+    cap2 = np.stack([np.full(cy.size, -45.0), cy.ravel(), cz.ravel()], -1)
+    planar = np.concatenate([wall1, wall2, cap1, cap2])
+    px = rng.uniform(-40, 40, size=(14,))
+    pz = np.linspace(0, 4, 24)
+    edge = np.concatenate(
+        [np.stack([np.full(24, x), np.full(24, 6.8 * s), pz], -1)
+         for x, s in zip(px, rng.choice([-1, 1], size=14))]
+    )
+    sphere = rng.uniform(-40, 40, size=(40, 3))
+    sphere[:, 1] = rng.uniform(-6, 6, size=40)
+    sphere[:, 2] = rng.uniform(0.5, 3.0, size=40)
+    return ground, planar, edge, sphere
+
+
+def test_yaw_fan_recovers_missed_turn_onset(rng):
+    """Turn-onset regression guard (round-4 DIAG_REVERSE frame 37): the
+    prediction misses a full 0.098 rad/frame turn step. The yaw-hypothesis
+    fan on coarse rounds must recover the rotation; without it the solve
+    historically stalled in the unrotated local minimum (-6 deg heading
+    locked in, 36 m of dead-reckoned drift by frame 104)."""
+    ground, planar, edge, sphere = manhattan_canyon(rng)
+    submap = as_features(ground, planar, edge, sphere, caps=(8192, 8192, 1024, 256))
+
+    # in-place heading change + a frame of forward motion the predict misses
+    yaw = np.deg2rad(5.6)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T_true = np.eye(4)
+    T_true[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1.0]]
+    T_true[:3, 3] = [1.0, 0.15, 0.0]
+    Tn = np.linalg.inv(T_true)
+
+    def to_scan(pts):
+        return pts @ Tn[:3, :3].T + Tn[:3, 3]
+
+    scan = as_features(
+        to_scan(ground), to_scan(planar), to_scan(edge), to_scan(sphere),
+        caps=(8192, 8192, 1024, 256),
+    )
+    pose, diag = jax.jit(scan_matching, static_argnums=3)(
+        scan, submap, jnp.eye(4), CFG
+    )
+    err = np.asarray(se3.log(se3.inv(jnp.asarray(T_true)) @ pose))
+    yaw_err_deg = np.degrees(abs(err[5]))
+    assert yaw_err_deg < 0.5, (yaw_err_deg, err)
+    assert np.linalg.norm(err[:3]) < 0.15, err

@@ -186,6 +186,27 @@ class TLSConfig:
     # starvation trigger: a round with fewer planar matches than this also
     # forces a coarse round (the fully-lost signature)
     relocal_corr_thres: int = 1
+    # yaw-hypothesis fan on coarse (lost) rounds: before a coarse round
+    # solves, score 2*yaw_fan_half+1 yaw offsets (multiples of
+    # yaw_fan_step_deg about the current estimate) by truncated planar
+    # point-to-plane cost against the coarse grid, and restart from the
+    # best. Rationale (measured, DIAG_REVERSE round 4): at turn onset the
+    # whole 0.098 rad/frame yaw step can be missed in ONE frame — in a
+    # Manhattan world point-to-plane residuals are yaw-blind for near
+    # points (they slide along the wall) while the yaw-informative distant
+    # points sit outside every match gate, so both fine and coarse GN
+    # rounds converge back to the unrotated local minimum (frame 37: gt
+    # dyaw +5.62 deg, est +0.08, cost stalled at 3.6e-2 for all 7 rounds;
+    # the -6 deg heading error then dead-reckoned into 36 m of drift).
+    # The fan is the basin-escape mechanism GN itself cannot provide.
+    # Healthy frames never take a coarse round, so they never pay for it.
+    # yaw_fan_half=0 disables.
+    yaw_fan_half: int = 2
+    yaw_fan_step_deg: float = 3.0
+    # truncation radius (metres) for unmatched/outlier points in the fan
+    # score: unmatched candidates pay tau^2, so hypotheses are ranked by
+    # robust alignment, not just matched-subset residuals
+    yaw_fan_tau: float = 0.5
     # match-fraction trigger: a fine round that matched fewer than this
     # fraction of the scan's planar candidates is not trusted as "aligned"
     # even when its residuals are small — the matched nearby subset is

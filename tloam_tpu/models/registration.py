@@ -383,6 +383,51 @@ def _edge_correspondences_cell(
     return a, b, _cap_first_n(valid, cfg.edge_maxnum, axis_name=axis_name)
 
 
+def _yaw_fan(
+    xi: jax.Array,
+    scan: FeatureSet,
+    cells: _SurfCells,
+    cfg: TLSConfig,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Yaw-hypothesis fan (TLSConfig.yaw_fan_half): score a bank of yaw
+    offsets about `xi` by truncated planar point-to-plane cost against the
+    COARSE cell grid and return xi rotated to the best hypothesis.
+
+    This is the basin-escape step Gauss-Newton cannot take: at turn onset
+    the fine/coarse rounds both converge back to the unrotated local
+    minimum (near points slide freely along Manhattan walls; the distant
+    points that observe yaw are unmatched). A 5-hypothesis fan at 3-degree
+    pitch covers a missed 0.098 rad/frame turn step in one evaluation.
+    Unmatched candidates pay tau^2, so the score ranks robust whole-scan
+    alignment rather than matched-subset residuals."""
+    dtype = xi.dtype
+    step = jnp.asarray(jnp.deg2rad(cfg.yaw_fan_step_deg), dtype)
+    offs = jnp.arange(-cfg.yaw_fan_half, cfg.yaw_fan_half + 1).astype(dtype) * step
+    tau_sq = jnp.asarray(cfg.yaw_fan_tau**2, dtype)
+    T0 = se3.exp(xi)
+
+    def body_yaw(d):
+        # heading change IN PLACE: right-multiply by a body-z rotation
+        # (a left/world-frame yaw would swing the position about the world
+        # origin — metres of translation at map scale)
+        return T0 @ se3.exp(jnp.zeros(6, dtype).at[5].set(d))
+
+    def score_one(d):
+        pw = se3.transform(body_yaw(d), scan.planar.xyz)
+        n, pd, pv = _plane_correspondences_cell(
+            cells, pw, scan.planar.valid, cfg.planar_dist_thres,
+            cfg.planar_maxnum, axis_name, 1.5,
+        )
+        r = jnp.einsum("nj,nj->n", pw, n) + pd
+        c = jnp.where(pv, jnp.minimum(r * r, tau_sq), tau_sq)
+        return _psum(jnp.sum(jnp.where(scan.planar.valid, c, 0.0)), axis_name)
+
+    scores = jax.vmap(score_one)(offs)
+    best_off = offs[jnp.argmin(scores)]
+    return se3.log(body_yaw(best_off))
+
+
 def _plane_correspondences(
     grid: voxel.HashGrid,
     submap: Cloud,
@@ -931,8 +976,20 @@ def scan_matching(
             use_coarse = st.want_coarse
         else:
             use_coarse = jnp.asarray(False)
+        # yaw-hypothesis fan: a coarse (lost) round first snaps xi to the
+        # best of a small yaw bank (see _yaw_fan). lax.cond keeps the fan
+        # off the healthy-frame execution path entirely.
+        if has_coarse and cfg.yaw_fan_half > 0:
+            xi_in = jax.lax.cond(
+                use_coarse,
+                lambda x: _yaw_fan(x, scan, grids["planar_coarse"], cfg, axis_name),
+                lambda x: x,
+                st.xi,
+            )
+        else:
+            xi_in = st.xi
         corr = _build_correspondences(
-            st.xi, scan, submap, grids, cfg, gicp_covs, axis_name, use_coarse
+            xi_in, scan, submap, grids, cfg, gicp_covs, axis_name, use_coarse
         )
 
         # mean squared GNC weight over valid correspondences: re-normalizes
@@ -956,7 +1013,7 @@ def scan_matching(
             _psum(jnp.sum(corr.plane_valid), axis_name) == 0
         )
         xi = _gn_inner(
-            st.xi, scan, corr, st.weights, cfg, axis_name,
+            xi_in, scan, corr, st.weights, cfg, axis_name,
             hard_floor_on=planar_empty, w_scale=w_scale,
         )
 
@@ -1113,9 +1170,12 @@ def scan_matching(
             # f32 cost-delta gate above essentially never fires; this is
             # what makes a high max_iterations ceiling free on healthy
             # frames while still-converging frames spend all of it
+            # gate on st.mu_inited (seeded on a PREVIOUS round): the round
+            # that first seeds mu solved unweighted — at least one weighted
+            # outlier pass must run before the exit can fire
             done = done | (
                 aligned
-                & mu_inited
+                & st.mu_inited
                 & (mean_planar < cfg.exit_cost_thres)
                 & (st.it >= 2)
             )

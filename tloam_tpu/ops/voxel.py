@@ -82,7 +82,10 @@ def voxel_downsample(
     reference's intensity-aware VoxelDownSample, PointCloud2.cpp:358-403).
 
     Returns (xyz (max_out,3), intensity (max_out,), valid (max_out,)).
-    Voxels beyond `max_out` are dropped (lexicographic cell order).
+    When more than `max_out` voxels are occupied the output thins uniformly
+    (every K-th voxel in cell-hash order is kept) instead of truncating a
+    prefix — a prefix cut amputates a spatial half-space (measured: scan kept
+    x>8.9 while the map kept x<12.6 — zero overlap).
     """
     coords = _cell_coords(xyz, voxel_size)
     coords = jnp.where(valid[:, None], coords, _SENTINEL)  # invalid sort last

@@ -469,16 +469,17 @@ def _odometry_step_impl(
         # consecutive unhealthy frame: then the world view genuinely changed
         # (occlusion flip) and re-mapping from the new view is the only
         # recovery.
+        # streak advances unconditionally: the allow_fb "(streak < 3)" escape
+        # above must fire even with the submap gate disabled (else misaligned
+        # fallback / rotation damping can persist indefinitely in that config)
+        streak = jnp.where(unhealthy, st.unhealthy_streak + 1, 0)
         if cfg.odometry.submap_health_gate:
-            streak = jnp.where(unhealthy, st.unhealthy_streak + 1, 0)
             push = (~unhealthy) | (streak >= cfg.odometry.submap_gate_streak)
             new_submap = jax.tree.map(
                 lambda new, old: jnp.where(push, new, old),
                 new_submap,
                 st.submap,
             )
-        else:
-            streak = st.unhealthy_streak
         gmap = (
             _accumulate_global_map(st.global_map, raw, pose, cfg)
             if cfg.odometry.mapping_flag

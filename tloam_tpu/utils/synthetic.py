@@ -419,7 +419,7 @@ def moving_cars(
             if axis == 0:
                 boxes.append((s - L / 2, lane - W / 2, 0.0, s + L / 2, lane + W / 2, H))
             else:
-                boxes.append((lane - L / 2, s - W / 2, 0.0, lane + W / 2, s + W / 2, H))
+                boxes.append((lane - W / 2, s - L / 2, 0.0, lane + W / 2, s + L / 2, H))
         frames.append(boxes)
     return frames
 
