@@ -17,10 +17,58 @@ excluding scan synthesis (which stands in for the sensor).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _cache_entries() -> int:
+    """Count persistent-compile-cache entries (tloam_tpu/__init__.py wires
+    /tmp/tloam_jax_cache)."""
+    root = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/tloam_jax_cache")
+    try:
+        return sum(len(fs) for _, _, fs in os.walk(root))
+    except OSError:
+        return 0
+
+
+def warmup_only(config: str | None = None, overrides=()) -> None:
+    """Fresh-process warmup probe: synthesize the 3 warmup frames, run the
+    jitted step through its first fetch, print timing JSON. Invoked as a
+    SUBPROCESS by main() BEFORE the parent touches the TPU, so (a) there is
+    never a second live device client, and (b) whatever compile cost the
+    current cache state implies is paid HERE — the parent's own warmup is
+    then a guaranteed-warm number an outside reader can trust
+    (VERDICT r3 missing #5)."""
+    import jax.numpy as jnp
+
+    from tloam_tpu.cloud import Cloud
+    from tloam_tpu.config import load_pipeline_config
+    from tloam_tpu.pipeline import frontend
+    from tloam_tpu.utils import synthetic
+
+    cfg = load_pipeline_config(config, overrides)
+    n0 = _cache_entries()
+    scene = synthetic.Scene.urban(np.random.default_rng(3), extent=80.0)
+    gt = synthetic.straight_trajectory(3, step=1.0, yaw_rate=0.005)
+    state = frontend.init_state(cfg, jnp.float32)
+    t0 = time.time()
+    for i in range(3):
+        xyz, inten = synthetic.simulate_scan(
+            gt[i], scene, rings=64, az_steps=1870,
+            rng=np.random.default_rng(i), noise=0.01,
+        )
+        raw = Cloud.from_numpy(xyz, inten, capacity=131072, dtype=jnp.float32)
+        state, pose, _ = frontend.odometry_step(state, raw, cfg)
+    np.asarray(pose)  # fetch = the only true sync through the axon relay
+    print(json.dumps({
+        "warmup_s": round(time.time() - t0, 1),
+        "cache_entries_before": n0,
+        "cache_entries_after": _cache_entries(),
+    }))
 
 
 def main(config: str | None = None, overrides=()) -> None:
@@ -31,6 +79,31 @@ def main(config: str | None = None, overrides=()) -> None:
     from tloam_tpu.config import load_pipeline_config
     from tloam_tpu.pipeline import frontend
     from tloam_tpu.utils import synthetic
+
+    # ---- warmup anatomy (VERDICT r3 missing #5): a fresh SUBPROCESS runs
+    # the 3-frame warmup first. It pays whatever the current cache state
+    # costs (cold compile on a wiped /tmp; cache fetch otherwise) and exits
+    # before this process initializes its device client. This process's own
+    # warmup below is then measured against a just-populated cache — the
+    # reproducible warm figure.
+    first = {}
+    if os.environ.get("TLOAM_BENCH_NO_PROBE") != "1":
+        args = [sys.executable, os.path.abspath(__file__), "--warmup-only"]
+        if config:
+            args += ["--config", config]
+        for ov in overrides:
+            args += ["--set", ov]
+        t_probe = time.time()
+        try:
+            out = subprocess.run(
+                args, capture_output=True, text=True, timeout=3600,
+            )
+            first = json.loads(out.stdout.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, ValueError, IndexError) as e:
+            print(f"warmup probe failed: {e}", file=sys.stderr)
+            first = {"error": str(e)[:200]}
+        first["wall_s"] = round(time.time() - t_probe, 1)
+        print(f"first-warmup probe: {first}", file=sys.stderr)
 
     cfg = load_pipeline_config(config, overrides)
     rings, az = 64, 1870
@@ -93,7 +166,17 @@ def main(config: str | None = None, overrides=()) -> None:
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 10.0, 3),
-                "warmup_s": round(warmup_s, 1),
+                # warmup_first_s: a fresh process run BEFORE this one —
+                # pays the cache state found on disk (cold compile ~8-12 min
+                # on a wiped /tmp; tens of seconds on a warm cache).
+                # warmup_warm_s: THIS process against the cache the probe
+                # just populated — the reproducible warm number.
+                "warmup_first_s": first.get("warmup_s"),
+                "warmup_first_cache_entries": [
+                    first.get("cache_entries_before"),
+                    first.get("cache_entries_after"),
+                ],
+                "warmup_warm_s": round(warmup_s, 1),
                 "corr_mean": [round(v, 1) for v in corr.mean(0).tolist()],
                 "corr_min": corr.min(0).tolist(),
                 # regression gate: every residual family must stay populated
@@ -110,5 +193,9 @@ if __name__ == "__main__":
     _p = argparse.ArgumentParser()
     _p.add_argument("--config")
     _p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    _p.add_argument("--warmup-only", action="store_true")
     _a = _p.parse_args()
-    main(_a.config, _a.set)
+    if _a.warmup_only:
+        warmup_only(_a.config, _a.set)
+    else:
+        main(_a.config, _a.set)

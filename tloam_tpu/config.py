@@ -157,6 +157,24 @@ class TLSConfig:
     # addSurfCostFactor) or "gicp" (its PlaneToPlaneErr/addSurfCostFactor2
     # covariance-weighted variant, registration.cpp:119-160,649-702)
     plane_residual: str = "point_to_plane"
+    # GICP-mode noise bound (GNC eps, in the GICP residual scale). The
+    # metric noise_bound (0.01 m) is meaningless for GICP residuals
+    # r = (C_t + R C_s R^T)^-1 d: covariances are normalized to unit max
+    # eigenvalue and clamped at 1e-3 (calculateCov, registration.cpp:
+    # 385-415), so an inlier with normal noise sigma=0.01 m carries
+    # |r| ~ 0.01/(2e-3) = 5 and GNC cost ~ 25 — with eps^2 = 1e-4 the
+    # th1/th2 thresholds collapse below EVERY cost once mu ramps and all
+    # weights zero out (measured round 4: mu=inf, frozen rounds 2-6, the
+    # MODES_r03 8.6 m stall). eps must sit at the inlier cost scale.
+    gicp_noise_bound: float = 5.0
+    # GICP-mode correspondence search radius (planar + ground; the
+    # reference searches ground with planar_dist_thres too,
+    # registration.cpp:813). The hash-window 1-NN reach is ~1.5x this.
+    # 0.5 m cannot see a 1 m/frame startup motion — only the distant
+    # cross-track facades observe along-track error, and they sit outside
+    # the window; the mode then never bootstraps its velocity estimate
+    # (measured: pose frozen at ~0.1 m over an 8 m drive).
+    gicp_dist_thres: float = 1.5
     # correspondence engine: "cell_plane" precomputes 27-cell-window plane /
     # line fits over the submap once per solve and answers queries with hash
     # probes (TPU-fast default); "knn" re-fits from per-query k-nearest
@@ -207,6 +225,13 @@ class TLSConfig:
     # score: unmatched candidates pay tau^2, so hypotheses are ranked by
     # robust alignment, not just matched-subset residuals
     yaw_fan_tau: float = 0.5
+    # acceptance margin: a non-zero hypothesis is taken only when its score
+    # beats the zero-offset score by this factor. A genuinely missed turn
+    # step slashes the truncated cost (most candidates unmatched -> matched);
+    # Manhattan aliasing / moving-car structure wins only marginally —
+    # without the margin the fan injected -3.9 deg on a straight occluded
+    # frame (DIAG_REVERSE2 f34) and overshot a turn by -9 deg (f92).
+    yaw_fan_margin: float = 0.85
     # match-fraction trigger: a fine round that matched fewer than this
     # fraction of the scan's planar candidates is not trusted as "aligned"
     # even when its residuals are small — the matched nearby subset is

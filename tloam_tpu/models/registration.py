@@ -424,7 +424,14 @@ def _yaw_fan(
         return _psum(jnp.sum(jnp.where(scan.planar.valid, c, 0.0)), axis_name)
 
     scores = jax.vmap(score_one)(offs)
-    best_off = offs[jnp.argmin(scores)]
+    # margin test vs the zero-offset hypothesis (see yaw_fan_margin): accept
+    # a rotation only when it wins DECISIVELY — marginal wins are Manhattan
+    # aliasing or dynamic-object structure, and acting on them injects the
+    # very yaw error the fan exists to remove
+    s0 = scores[cfg.yaw_fan_half]
+    best = jnp.argmin(scores)
+    take = scores[best] < cfg.yaw_fan_margin * s0
+    best_off = jnp.where(take, offs[best], jnp.asarray(0.0, dtype))
     return se3.log(body_yaw(best_off))
 
 
@@ -608,15 +615,16 @@ def _build_correspondences(
     else:
         pn, p_cov, pv = _gicp_correspondences(
             grids["planar"], submap.planar, gicp_covs["submap_planar"],
-            planar_w, scan.planar.valid, cfg.planar_dist_thres,
+            planar_w, scan.planar.valid, cfg.gicp_dist_thres,
             cfg.planar_maxnum, cfg.max_per_cell, axis_name,
         )
         pd = jnp.zeros(pn.shape[0], pn.dtype)
-        # NOTE: addGroundCostFactor2 searches with planar_dist_thres
-        # (registration.cpp:813 — reproduced)
+        # NOTE: addGroundCostFactor2 searches ground with the PLANAR
+        # threshold (registration.cpp:813) — both families share
+        # gicp_dist_thres here (see its config rationale)
         gn, g_cov, gv = _gicp_correspondences(
             grids["ground"], submap.ground, gicp_covs["submap_ground"],
-            ground_w, scan.ground.valid, cfg.planar_dist_thres,
+            ground_w, scan.ground.valid, cfg.gicp_dist_thres,
             cfg.ground_maxnum, cfg.max_per_cell, axis_name,
         )
         gd = jnp.zeros(gn.shape[0], gn.dtype)
@@ -902,6 +910,9 @@ def scan_matching(
                 precise_thres=0.2 * cfg.coarse_scale,
             )
     else:
+        gicp = cfg.plane_residual == "gicp"
+        plane_cell = cfg.gicp_dist_thres if gicp else cfg.planar_dist_thres
+        ground_cell = cfg.gicp_dist_thres if gicp else cfg.ground_dist_thres
         grids = {
             "edge": voxel.build_hash_grid(
                 submap.edge.xyz, submap.edge.valid, cfg.edge_dist_thres
@@ -910,16 +921,21 @@ def scan_matching(
                 submap.sphere.xyz, submap.sphere.valid, cfg.sphere_dist_thres
             ),
             "planar": voxel.build_hash_grid(
-                submap.planar.xyz, submap.planar.valid, cfg.planar_dist_thres
+                submap.planar.xyz, submap.planar.valid, plane_cell
             ),
             "ground": voxel.build_hash_grid(
-                submap.ground.xyz, submap.ground.valid, cfg.ground_dist_thres
+                submap.ground.xyz, submap.ground.valid, ground_cell
             ),
         }
 
     has_coarse = "planar_coarse" in grids
 
-    noise_bound_sq = cfg.noise_bound**2
+    # GNC eps in the residual family's own scale (see
+    # TLSConfig.gicp_noise_bound for why the metric bound cannot be shared)
+    if cfg.plane_residual == "gicp":
+        noise_bound_sq = cfg.gicp_noise_bound**2
+    else:
+        noise_bound_sq = cfg.noise_bound**2
     if noise_bound_sq < 1e-16:
         noise_bound_sq = 1e-2  # registration.cpp:962-964
 

@@ -226,8 +226,15 @@ def gnc_update_weights(
 
 
 def gnc_next_mu(mu: jax.Array, iter_idx: jax.Array, gnc_factor: jax.Array) -> jax.Array:
-    """mu <- mu * exp((iter+1) * gnc_factor) (registration.cpp:1089)."""
-    return mu * jnp.exp((iter_idx + 1.0) * gnc_factor)
+    """mu <- mu * exp((iter+1) * gnc_factor) (registration.cpp:1089).
+
+    Clamped at 1e8: the reference runs 4 f64 outer rounds (max mu ~5.6e30,
+    finite); at 7 rounds in f32 the ramp overflows to inf, and
+    gnc_thresholds(inf) is NaN (inf/inf) — NaN weights then freeze every
+    remaining round (measured in gicp mode, round 4). At 1e8 the
+    thresholds already sit within 1e-8 of their mu->inf limits, so the
+    clamp is behaviorally invisible below f32 resolution."""
+    return jnp.minimum(mu * jnp.exp((iter_idx + 1.0) * gnc_factor), 1e8)
 
 
 def cauchy_weight(sq_norm: jax.Array, scale: float = 1.0) -> jax.Array:
