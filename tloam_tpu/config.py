@@ -232,6 +232,17 @@ class TLSConfig:
     # without the margin the fan injected -3.9 deg on a straight occluded
     # frame (DIAG_REVERSE2 f34) and overshot a turn by -9 deg (f92).
     yaw_fan_margin: float = 0.85
+    # best-round selection: the pose returned is the ALIGNED round whose
+    # robust score (planar cost + best_round_tau^2 per unmatched candidate,
+    # averaged over candidates) is lowest — NOT the last round's. Measured
+    # (DIAG_REVERSE3): with 7 outer rounds in f32, late rounds can wander
+    # off an aligned solution through aliased matches (f11: round-0 cost
+    # 8.2e-4 aligned -> round-6 3.4e-2, +1.2 deg yaw injected; f14: a
+    # half-cell translation alias scored marginally lower cost on FEWER
+    # matches — the unmatched-candidate penalty is what rejects it). The
+    # single-step monotonicity guard cannot catch gradual wander; this
+    # does. 0 disables (return the final round, pre-round-4 behavior).
+    best_round_tau: float = 0.1
     # match-fraction trigger: a fine round that matched fewer than this
     # fraction of the scan's planar candidates is not trusted as "aligned"
     # even when its residuals are small — the matched nearby subset is

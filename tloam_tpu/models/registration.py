@@ -828,6 +828,11 @@ class _OuterState(NamedTuple):
     cost_trace: jax.Array  # (max_iter,) mean planar cost per round
     coarse_trace: jax.Array  # (max_iter,) bool — round used the coarse grid
     aligned_trace: jax.Array  # (max_iter,) bool — round passed alignment
+    # best-round tracking (TLSConfig.best_round_tau): the aligned round with
+    # the lowest robust score wins the frame
+    xi_best: jax.Array = None
+    best_score: jax.Array = None
+    best_seen: jax.Array = None
 
 
 def _psum(x, axis_name):
@@ -1199,6 +1204,22 @@ def scan_matching(
         prev_mean = jnp.where(
             use_coarse | revert, st.prev_mean_planar, mean_planar
         )
+        # best-round tracking (TLSConfig.best_round_tau): robust score =
+        # planar cost + tau^2 per unmatched candidate, per candidate. The
+        # unmatched penalty is what separates a half-cell translation alias
+        # (marginally lower cost, fewer matches) from the true pose.
+        if cfg.best_round_tau:
+            tau_sq = jnp.asarray(cfg.best_round_tau**2, dtype)
+            n_cand = jnp.maximum(n_planar_cand, 1).astype(dtype)
+            score = (
+                planar_cost + (n_cand - ncorr[0].astype(dtype)) * tau_sq
+            ) / n_cand
+            better = aligned & (score < st.best_score)
+            xi_best = jnp.where(better, xi, st.xi_best)
+            best_score = jnp.where(better, score, st.best_score)
+            best_seen = st.best_seen | better
+        else:
+            xi_best, best_score, best_seen = st.xi_best, st.best_score, st.best_seen
         return _OuterState(
             xi, new_w, mu, mu_inited, want_coarse, planar_cost_out, cost_sums,
             ncorr, st.it + 1, done, prev_mean,
@@ -1206,6 +1227,7 @@ def scan_matching(
             st.cost_trace.at[st.it].set(mean_planar),
             st.coarse_trace.at[st.it].set(use_coarse),
             st.aligned_trace.at[st.it].set(aligned),
+            xi_best, best_score, best_seen,
         )
 
     init = _OuterState(
@@ -1224,6 +1246,9 @@ def scan_matching(
         cost_trace=jnp.zeros(cfg.max_iterations, dtype),
         coarse_trace=jnp.zeros(cfg.max_iterations, bool),
         aligned_trace=jnp.zeros(cfg.max_iterations, bool),
+        xi_best=xi0,
+        best_score=jnp.asarray(jnp.inf, dtype),
+        best_seen=jnp.asarray(False),
     )
 
     # Fixed-trip loop with done-masking instead of while_loop: the early-exit
@@ -1237,7 +1262,14 @@ def scan_matching(
         init,
     )
 
-    pose = se3.exp(final.xi)
+    # return the BEST aligned round's xi, not the last round's (see
+    # TLSConfig.best_round_tau; falls back to the final xi when no round
+    # ever aligned — the misaligned-containment path below handles that)
+    if cfg.best_round_tau:
+        xi_final = jnp.where(final.best_seen, final.xi_best, final.xi)
+    else:
+        xi_final = final.xi
+    pose = se3.exp(xi_final)
     # degenerate-frame containment: with too few correspondences the normal
     # equations are ill-posed — keep the motion-model prediction.
     degenerate = jnp.sum(final.num_corr) < cfg.min_total_corr

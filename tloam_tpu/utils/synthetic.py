@@ -384,6 +384,52 @@ def town_trajectory(n_frames: int, step: float = 1.0, block: float = 40.0):
     return np.stack(poses)
 
 
+def town_trajectory_b(n_frames: int, step: float = 1.0, block: float = 40.0):
+    """Second street-following route for generalization sweeps (VERDICT r3
+    weak #1: every solver threshold was tuned on the ONE town_trajectory
+    drive). Same block grid and regime families, different order and
+    geometry: starts south-bound on a cross street, takes an early RIGHT
+    turn, long straight, stop, a reverse-then-forward on the SAME heading
+    (no turn co-onset — distinct from route A's hardest event), then a
+    late left turn. Stays on the street grid (never crosses walls)."""
+    R_frames = 16
+    w = (np.pi / 2) / R_frames / step
+    segs = [
+        (18, step, 0.0),          # south along the x=block street
+        (R_frames, step, w),      # left at the (block, 0) intersection, east
+        (16, step, 0.0),
+        (5, 0.0, 0.0),            # stop
+        (10, -0.5 * step, 0.0),   # reverse
+        (14, step, 0.0),          # forward again, SAME heading (pure reversal)
+        (R_frames, step, -w),     # right at the (2*block, 0) intersection
+        (25, step, 0.0),          # south
+    ]
+    # start mid-block heading SOUTH on the x=block vertical street
+    x, y, yaw = float(block), 26.0, -np.pi / 2
+    poses = []
+
+    def emit():
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        T[0, 3], T[1, 3] = x, y
+        poses.append(T)
+
+    for n, v, wr in segs:
+        for _ in range(n):
+            if len(poses) >= n_frames:
+                return np.stack(poses)
+            emit()
+            x += v * np.cos(yaw)
+            y += v * np.sin(yaw)
+            yaw += wr * abs(v) if v else 0.0
+    while len(poses) < n_frames:
+        emit()
+        x += step * np.cos(yaw)
+        y += step * np.sin(yaw)
+    return np.stack(poses)
+
+
 def moving_cars(
     n_frames: int,
     rng: np.random.Generator,
