@@ -1,10 +1,13 @@
-"""Bench the reference-faithful mode matrix on hardware (VERDICT r1 next #10).
+"""Bench the reference-faithful mode matrix on hardware (VERDICT r1 next
+#10, extended per r3 next #8 to a LONG drive with real accuracy metrics).
 
 The TPU-fast defaults (pca_mode=cell, corr_mode=cell_plane,
 plane_residual=point_to_plane) trade exactness of the reference's per-point
 KD-tree searches for cell-aggregated geometry. This script quantifies that
-trade: each mode runs the same synthetic drive once, reporting frames/s and
-the final-pose delta vs the default mode. Writes MODES_r{N}.json.
+trade: each mode runs the SAME synthetic town drive (scans synthesized
+once, reused), reporting frames/s plus trajectory accuracy vs ground truth
+(t_err / ATE / final drift) — 10-frame final-pose deltas could not separate
+mode accuracy from noise (r3 weak #7). Writes MODES_r{N}.json.
 
 Modes (reference mechanisms they correspond to):
   default    — TPU-fast path
@@ -33,20 +36,23 @@ MODES = {
 }
 
 
-def run_mode(overrides, scans, cap, n_warm):
+def run_mode(overrides, scans, gt_rel, cap, n_warm, extra=()):
     import jax
     import jax.numpy as jnp
 
     from tloam_tpu.cloud import Cloud
     from tloam_tpu.config import load_pipeline_config
     from tloam_tpu.pipeline import frontend
+    from tloam_tpu.utils import drives
 
-    cfg = load_pipeline_config(None, overrides)
+    cfg = load_pipeline_config(None, list(overrides) + list(extra))
     state = frontend.init_state(cfg, jnp.float32)
+    poses = []
     t0 = time.time()
     for i in range(n_warm):
         raw = Cloud.from_numpy(*scans[i], capacity=cap, dtype=jnp.float32)
         state, pose, diag = frontend.odometry_step_nodonate(state, raw, cfg)
+        poses.append(pose)
     np.asarray(pose)  # queue drain: axon relay's block_until_ready returns
     # before execution finishes (see bench.py sync note)
     warm_s = time.time() - t0
@@ -55,45 +61,65 @@ def run_mode(overrides, scans, cap, n_warm):
     for i in range(n_warm, len(scans)):
         raw = Cloud.from_numpy(*scans[i], capacity=cap, dtype=jnp.float32)
         state, pose, diag = frontend.odometry_step_nodonate(state, raw, cfg)
+        poses.append(pose)
     np.asarray(pose)  # see warmup sync note
     dt = time.time() - t0
     n_timed = len(scans) - n_warm
+
+    est = np.stack([np.asarray(p) for p in poses])
+    m = drives.drive_metrics(est, gt_rel[: len(est)])
     return {
         "frames_per_s": round(n_timed / dt, 3),
         "warmup_s": round(warm_s, 1),
-        "final_pose_t": np.asarray(pose)[:3, 3].round(4).tolist(),
+        "final_pose_t": est[-1, :3, 3].round(4).tolist(),
         "corr_last": np.asarray(diag.num_corr).tolist(),
         "iters_last": int(diag.iterations),
+        **{k: m[k] for k in (
+            "kitti_t_err_pct", "ate_rmse_m", "final_drift_m", "max_drift_m")},
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=2)
-    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--warm", type=int, default=2)
+    ap.add_argument("--rings", type=int, default=64)
+    ap.add_argument("--az", type=int, default=1870)
     ap.add_argument("--modes", default=",".join(MODES))
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from tloam_tpu.utils import synthetic
 
-    scene = synthetic.Scene.urban(np.random.default_rng(3), extent=80.0)
-    gt = synthetic.straight_trajectory(args.frames, step=1.0, yaw_rate=0.005)
+    # the LONGDRIVE world (route A, hard add-ons), synthesized ONCE and
+    # reused by every mode — raycasting dominates wall time on this host
+    scene = synthetic.Scene.town(np.random.default_rng(3), extent=140.0)
+    gt = synthetic.town_trajectory(args.frames, step=1.0)
+    cars = synthetic.moving_cars(
+        args.frames, np.random.default_rng(11), n_cars=8, extent=140.0
+    )
+    occ = synthetic.occlusion_schedule(args.frames, np.random.default_rng(12))
+    print("synthesizing scans...", file=sys.stderr, flush=True)
     scans = [
         synthetic.simulate_scan(
-            gt[i], scene, rings=64, az_steps=1870,
+            gt[i], scene, rings=args.rings, az_steps=args.az,
             rng=np.random.default_rng(i), noise=0.01,
+            boxes=cars[i], dropout_sectors=occ[i], ring_stagger=0.002,
         )
         for i in range(args.frames)
     ]
-    cap = 131072
+    cap = 1 << int(np.ceil(np.log2(args.rings * args.az)))
+    gt_sensor = gt.copy()
+    gt_sensor[:, 2, 3] += 1.73
+    gt_rel = np.linalg.inv(gt_sensor[0])[None] @ gt_sensor
 
     results = {}
     default_t = None
     for name in args.modes.split(","):
         print(f"--- mode {name} ---", file=sys.stderr, flush=True)
-        r = run_mode(MODES[name], scans, cap, args.warm)
+        r = run_mode(MODES[name], scans, gt_rel, cap, args.warm, args.set)
         if name == "default":
             default_t = np.asarray(r["final_pose_t"])
         if default_t is not None:
@@ -106,8 +132,10 @@ def main():
     import jax
 
     out = {
-        "metric": "mode_matrix_frames_per_s",
+        "metric": "mode_matrix_long_drive",
         "frames": args.frames,
+        "regimes": "hard town drive (route A): turns, stop, reverse, "
+        "moving cars, occlusion dropouts, ring stagger",
         "backend": jax.default_backend(),
         "modes": results,
     }

@@ -1,7 +1,19 @@
 """Long-horizon regression: 60-frame varied drive (turns, stop-and-go,
 reverse) at reduced scan density must stay within a stated drift budget
 (VERDICT r1 weak #5). Slow-marked; the full-density 120-frame artifact is
-produced by scripts/long_drive.py."""
+produced by scripts/long_drive.py.
+
+Round-4 change (VERDICT r3 weak #2 / ADVICE low #4): the canary now runs
+the SHIPPED DEFAULT config — the exact configuration behind
+LONGDRIVE_r04.json — so a regression in the defaults is caught by CI.
+Earlier rounds needed a starved-regime special config here
+(misaligned_pose_fallback=True, max_iterations=5; final drift 2.92 m);
+with the round-4 yaw fan + best-aligned-round selection the DEFAULTS
+measure final 0.59 m / max 0.63 m / ATE 0.162 at this density — better
+than the special config (1.50 m), which is therefore retired.
+"""
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -13,34 +25,25 @@ from tloam_tpu.utils import synthetic, trajectory
 from tests.test_pipeline import CFG
 
 
-@pytest.mark.slow
-def test_varied_drive_60_frames():
-    import dataclasses
+def test_longdrive_artifact_config_is_default():
+    """scripts/long_drive.py builds its config as
+    load_pipeline_config(None, []) — assert that equals the dataclass
+    defaults, so no silent config drift can open between the committed
+    artifact and what these tests guard (VERDICT r3 next #6)."""
+    from tloam_tpu.config import load_pipeline_config
 
+    assert load_pipeline_config(None, []) == frontend.PipelineConfig()
+
+
+@pytest.mark.slow
+def test_varied_drive_60_frames_default_config():
     n = 60
     scene = synthetic.Scene.urban(np.random.default_rng(7), extent=50.0)
     gt = synthetic.varied_trajectory(n, step=0.8)
 
-    # 32-ring scans are a STARVED regime (planar candidates ~150-900 vs
-    # ~1000+ at full density): enable the dead-reckoning pose override,
-    # which the config documents as the starved-regime setting (measured
-    # here: final drift 15.8 m without it, 2.9 m with it).
-    cfg = dataclasses.replace(
-        CFG,
-        odometry=dataclasses.replace(
-            CFG.odometry,
-            tls=dataclasses.replace(
-                CFG.odometry.tls,
-                misaligned_pose_fallback=True,
-                # 5 rounds at reduced density: extra rounds let aliased
-                # solves wander (measured 3.93 m final at 7 vs 2.92 at 5);
-                # the 7-round default pays off only at full density where
-                # alignment-gated early exit bounds healthy frames
-                max_iterations=5,
-            ),
-        ),
-    )
-    state = frontend.init_state(cfg, jnp.float32)
+    # CFG = default solver/odometry parameters with reduced buffer
+    # capacities sized for 32-ring scans (tests/test_pipeline.py)
+    state = frontend.init_state(CFG, jnp.float32)
     poses = []
     for i in range(n):
         xyz, inten = synthetic.simulate_scan(
@@ -48,7 +51,7 @@ def test_varied_drive_60_frames():
             rng=np.random.default_rng(i), noise=0.005,
         )
         raw = Cloud.from_numpy(xyz, inten, capacity=32 * 1024, dtype=jnp.float32)
-        state, pose, diag = frontend.odometry_step_nodonate(state, raw, cfg)
+        state, pose, diag = frontend.odometry_step_nodonate(state, raw, CFG)
         poses.append(np.asarray(pose))
     est = np.stack(poses)
 
@@ -57,18 +60,12 @@ def test_varied_drive_60_frames():
     gt_rel = np.linalg.inv(gt_sensor[0])[None] @ gt_sensor
 
     drift = np.linalg.norm(est[:, :3, 3] - gt_rel[:, :3, 3], axis=1)
-    t_err, r_err = trajectory.kitti_odometry_errors(gt_rel, est)
     ate = trajectory.ate_rmse(gt_rel, est)
 
-    # Regression canaries at REDUCED density (32 rings, small capacities):
-    # measured 2.92 m final / 0.77 m ATE — the error concentrates in the
-    # shallow-incidence corridor exit (frames 50-59), where planar support
-    # drops to tens of points and solves alias. Budgets leave ~35% headroom
-    # for f32 summation-order variance across harnesses. Parity-grade
-    # accuracy is measured at FULL density by scripts/long_drive.py
-    # (LONGDRIVE_r03.json on the hard town drive).
-    assert drift[-1] < 4.0, (drift[-1], drift[::10])
-    assert drift.max() < 4.0, (drift.max(), drift[::10])
-    assert ate < 1.2, ate
-    if not np.isnan(t_err):
-        assert t_err < 6.0, t_err  # % over 100-800m segments
+    # Measured with the round-4 solver (yaw fan + best-aligned-round):
+    # final 0.59 m / max 0.63 m / ATE 0.162 at this starved density.
+    # Budgets leave ~2x headroom for f32 summation-order variance across
+    # harnesses — still 2.4x tighter than the r3 canary (4.0 m / 1.2).
+    assert drift[-1] < 1.2, (drift[-1], drift[::10])
+    assert drift.max() < 1.3, (drift.max(), drift[::10])
+    assert ate < 0.35, ate

@@ -243,6 +243,15 @@ class TLSConfig:
     # single-step monotonicity guard cannot catch gradual wander; this
     # does. 0 disables (return the final round, pre-round-4 behavior).
     best_round_tau: float = 0.1
+    # stall exit: stop when the best robust score has not improved for this
+    # many consecutive rounds (requires best_round_tau). Healthy frames
+    # improve only on round 0 and exit after 3 rounds (matching the r3
+    # exit_cost_thres behavior); wander rounds stop paying for themselves
+    # (measured DIAG_REVERSE4: mean 5.24 rounds/frame because wander pushed
+    # the CURRENT round's cost above exit_cost_thres even when round 0 was
+    # already converged); genuinely-recovering frames keep improving their
+    # best score and still spend the full ceiling. 0 disables.
+    exit_stall_rounds: int = 2
     # match-fraction trigger: a fine round that matched fewer than this
     # fraction of the scan's planar candidates is not trusted as "aligned"
     # even when its residuals are small — the matched nearby subset is

@@ -833,6 +833,7 @@ class _OuterState(NamedTuple):
     xi_best: jax.Array = None
     best_score: jax.Array = None
     best_seen: jax.Array = None
+    best_it: jax.Array = None  # round index of the current best
 
 
 def _psum(x, axis_name):
@@ -1218,8 +1219,17 @@ def scan_matching(
             xi_best = jnp.where(better, xi, st.xi_best)
             best_score = jnp.where(better, score, st.best_score)
             best_seen = st.best_seen | better
+            best_it = jnp.where(better, st.it, st.best_it)
+            if cfg.exit_stall_rounds:
+                # stall exit (TLSConfig.exit_stall_rounds): the best robust
+                # score stopped improving — further rounds only wander
+                done = done | (
+                    best_seen & (st.it - best_it >= cfg.exit_stall_rounds)
+                )
         else:
-            xi_best, best_score, best_seen = st.xi_best, st.best_score, st.best_seen
+            xi_best, best_score, best_seen, best_it = (
+                st.xi_best, st.best_score, st.best_seen, st.best_it
+            )
         return _OuterState(
             xi, new_w, mu, mu_inited, want_coarse, planar_cost_out, cost_sums,
             ncorr, st.it + 1, done, prev_mean,
@@ -1227,7 +1237,7 @@ def scan_matching(
             st.cost_trace.at[st.it].set(mean_planar),
             st.coarse_trace.at[st.it].set(use_coarse),
             st.aligned_trace.at[st.it].set(aligned),
-            xi_best, best_score, best_seen,
+            xi_best, best_score, best_seen, best_it,
         )
 
     init = _OuterState(
@@ -1249,6 +1259,7 @@ def scan_matching(
         xi_best=xi0,
         best_score=jnp.asarray(jnp.inf, dtype),
         best_seen=jnp.asarray(False),
+        best_it=jnp.asarray(0, jnp.int32),
     )
 
     # Fixed-trip loop with done-masking instead of while_loop: the early-exit
