@@ -73,9 +73,10 @@ class FeatureConfig:
     # scales with this, so keep it near the realistic occupied-cell count.
     # Urban HDL-64E object clouds occupy only ~3-4k cells at 0.2 m pitch
     # (wall sampling is much denser than the cell pitch; measured on 117k-pt
-    # scans) — 16384 is ~4x headroom. Overflow cells lose their features,
-    # they are never mis-assigned.
-    max_cells: int = 16384
+    # scans) — 8192 is ~2x headroom, and halving from 16384 cut
+    # pca_features 8.3 -> 5.3 ms (STAGES r4 A/B). Overflow cells lose
+    # their features, they are never mis-assigned.
+    max_cells: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)
@@ -332,12 +333,22 @@ class OdometryConfig:
     tls: TLSConfig = dataclasses.field(default_factory=TLSConfig)
 
     # --- static buffer capacities (TPU build; power-of-two friendly) ---
-    scan_edge_cap: int = 4096
+    # Right-sized in round 4 from measured occupancy + the family caps they
+    # feed (STAGES r4 A/B: scan_matching 33.9 -> 20.6 ms, fused step
+    # 60.4 -> 43.7 ms, with LONGDRIVE accuracy re-validated after):
+    #  * scan ground/edge buffers thin UNIFORMLY when they bind
+    #    (ops/voxel.voxel_downsample), so halving them keeps spatial
+    #    coverage while halving every per-row probe/eval in the solver;
+    #    the 2000/1200 correspondence caps stay satisfiable (ground: 4096
+    #    rows at ~0.9 match rate >> 2000; measured).
+    #  * submap edge/ground maps at 0.3/0.45 m voxels occupy well under
+    #    8192 cells over the +-100 m crop on 64-ring urban scans.
+    scan_edge_cap: int = 2048
     scan_sphere_cap: int = 512
     scan_planar_cap: int = 1024
-    scan_ground_cap: int = 8192
-    submap_edge_cap: int = 16384
-    submap_ground_cap: int = 16384
+    scan_ground_cap: int = 4096
+    submap_edge_cap: int = 8192
+    submap_ground_cap: int = 8192
     # (planar/sphere submap capacity = frame window x per-frame cap — see
     # PipelineConfig.frame_planar_cap/frame_sphere_cap)
 

@@ -82,8 +82,10 @@ class PipelineConfig:
     # ground removal; 0 disables. DCVC, edge extraction, PCA and the feature
     # picks all inherit this capacity, halving every per-point scatter /
     # gather row count (only ~35-50% of raw capacity survives ground
-    # removal). Overflow drops the valid tail — size generously.
-    general_cap: int = 65536
+    # removal). Overflow drops the valid tail. 49152 = ~1.6x headroom over
+    # the measured 23-30k surviving objects on 64-ring town/urban scans
+    # (measured r4; the cut is worth ~5 ms/frame across DCVC/edge/PCA).
+    general_cap: int = 49152
     # dense edge-pick ring width (see models/edge.extract_edges): 2304 lanes
     # covers HDL-64's ~2200 max returns per ring at ~55% of the 4096 cost
     edge_ring_width: int = 2304
