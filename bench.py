@@ -61,8 +61,10 @@ def warmup_only(config: str | None = None, overrides=()) -> None:
             gt[i], scene, rings=64, az_steps=1870,
             rng=np.random.default_rng(i), noise=0.01,
         )
-        raw = Cloud.from_numpy(xyz, inten, capacity=131072, dtype=jnp.float32)
-        state, pose, _ = frontend.odometry_step(state, raw, cfg)
+        q, n = Cloud.pack_scan(xyz, inten, capacity=131072)
+        state, pose, _ = frontend.odometry_step_packed(
+            state, jnp.asarray(q), jnp.asarray(n, jnp.int32), cfg
+        )
     np.asarray(pose)  # fetch = the only true sync through the axon relay
     print(json.dumps({
         "warmup_s": round(time.time() - t0, 1),
@@ -132,8 +134,10 @@ def main(config: str | None = None, overrides=()) -> None:
     t_compile = time.time()
     for i in range(n_warm):
         xyz, inten = scans[i]
-        raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
-        state, pose, _ = frontend.odometry_step(state, raw, cfg)
+        q, n = Cloud.pack_scan(xyz, inten, capacity=cap)
+        state, pose, _ = frontend.odometry_step_packed(
+            state, jnp.asarray(q), jnp.asarray(n, jnp.int32), cfg
+        )
     np.asarray(pose)  # fetch, not block_until_ready: the axon relay's
     # block_until_ready returns before execution finishes; only a data
     # fetch drains the device queue (measured: sync_probe, round 2)
@@ -144,8 +148,10 @@ def main(config: str | None = None, overrides=()) -> None:
     corr_seen = []
     for i in range(n_warm, n_warm + n_timed):
         xyz, inten = scans[i]
-        raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
-        state, pose, diag = frontend.odometry_step(state, raw, cfg)
+        q, n = Cloud.pack_scan(xyz, inten, capacity=cap)
+        state, pose, diag = frontend.odometry_step_packed(
+            state, jnp.asarray(q), jnp.asarray(n, jnp.int32), cfg
+        )
         corr_seen.append(diag.num_corr)
     np.asarray(pose)  # real queue drain (see warmup note)
     dt = time.time() - t0

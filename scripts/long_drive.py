@@ -74,8 +74,10 @@ def main():
             rng=np.random.default_rng(i), noise=0.01,
             boxes=cars[i], dropout_sectors=occ[i], ring_stagger=stagger,
         )
-        raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
-        state, pose, diag = frontend.odometry_step(state, raw, cfg)
+        q, n = Cloud.pack_scan(xyz, inten, capacity=cap)
+        state, pose, diag = frontend.odometry_step_packed(
+            state, jnp.asarray(q), jnp.asarray(n, jnp.int32), cfg
+        )
         poses.append(np.asarray(pose))
         degenerate_frames += int(diag.degenerate)
         if i % 20 == 0:

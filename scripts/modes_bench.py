@@ -33,6 +33,10 @@ MODES = {
     "pca_exact": ["feature.pca_mode=exact"],
     "corr_knn": ["odometry.tls.corr_mode=knn"],
     "gicp": ["odometry.tls.plane_residual=gicp"],
+    # sphere-family ablation (VERDICT r3 next #7): factor_num=3 drops the
+    # point-to-point family (reference registration.cpp:517-559) — measures
+    # what the ~2% of correspondences it contributes buys in accuracy/fps
+    "factor3": ["odometry.tls.factor_num=3"],
 }
 
 
@@ -50,8 +54,10 @@ def run_mode(overrides, scans, gt_rel, cap, n_warm, extra=()):
     poses = []
     t0 = time.time()
     for i in range(n_warm):
-        raw = Cloud.from_numpy(*scans[i], capacity=cap, dtype=jnp.float32)
-        state, pose, diag = frontend.odometry_step_nodonate(state, raw, cfg)
+        q, n = Cloud.pack_scan(*scans[i], capacity=cap)
+        state, pose, diag = frontend.odometry_step_packed(
+            state, jnp.asarray(q), jnp.asarray(n, jnp.int32), cfg
+        )
         poses.append(pose)
     np.asarray(pose)  # queue drain: axon relay's block_until_ready returns
     # before execution finishes (see bench.py sync note)
@@ -59,8 +65,10 @@ def run_mode(overrides, scans, gt_rel, cap, n_warm, extra=()):
 
     t0 = time.time()
     for i in range(n_warm, len(scans)):
-        raw = Cloud.from_numpy(*scans[i], capacity=cap, dtype=jnp.float32)
-        state, pose, diag = frontend.odometry_step_nodonate(state, raw, cfg)
+        q, n = Cloud.pack_scan(*scans[i], capacity=cap)
+        state, pose, diag = frontend.odometry_step_packed(
+            state, jnp.asarray(q), jnp.asarray(n, jnp.int32), cfg
+        )
         poses.append(pose)
     np.asarray(pose)  # see warmup sync note
     dt = time.time() - t0

@@ -60,7 +60,15 @@ def main():
                 f"r_err={m['kitti_r_err_deg_per_100m']} ate={m['ate_rmse_m']}",
                 file=sys.stderr, flush=True,
             )
+            # incremental dump: a killed sweep still leaves a valid artifact
+            _write(args, runs)
 
+    payload = _write(args, runs)
+    print(json.dumps({k: payload[k] for k in (
+        "n_runs", "t_err_pct_mean", "t_err_pct_max", "ate_mean", "ate_max")}))
+
+
+def _write(args, runs):
     t_errs = [r["kitti_t_err_pct"] for r in runs if r["kitti_t_err_pct"] is not None]
     ates = [r["ate_rmse_m"] for r in runs]
     payload = {
@@ -68,8 +76,8 @@ def main():
         "frames": args.frames,
         "config_overrides": args.set,
         "n_runs": len(runs),
-        "t_err_pct_mean": round(float(np.mean(t_errs)), 3),
-        "t_err_pct_max": round(float(np.max(t_errs)), 3),
+        "t_err_pct_mean": round(float(np.mean(t_errs)), 3) if t_errs else None,
+        "t_err_pct_max": round(float(np.max(t_errs)), 3) if t_errs else None,
         "t_err_pct_per_run": t_errs,
         "ate_mean": round(float(np.mean(ates)), 3),
         "ate_max": round(float(np.max(ates)), 3),
@@ -78,8 +86,7 @@ def main():
     out = args.out or f"SWEEP_r{args.round:02d}.json"
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps({k: payload[k] for k in (
-        "n_runs", "t_err_pct_mean", "t_err_pct_max", "ate_mean", "ate_max")}))
+    return payload
 
 
 if __name__ == "__main__":

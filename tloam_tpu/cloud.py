@@ -119,6 +119,51 @@ class Cloud:
             colors=pad3(colors) if colors is not None else None,
         )
 
+    # 4 mm fixed point: int16 covers +-131 m — beyond the HDL-64E's 120 m
+    # max range — at 2.5x finer than the sensor's ~1 cm noise floor
+    PACK_SCALE = 0.004
+    PACK_INT_SCALE = 1.0 / 1000.0
+
+    @staticmethod
+    def pack_scan(
+        xyz: np.ndarray, intensity: np.ndarray | None = None,
+        capacity: int | None = None,
+    ) -> tuple[np.ndarray, int]:
+        """Quantize a raw scan for host->device transfer: ONE (cap, 4)
+        int16 array (x, y, z at 4 mm fixed point; intensity at 1/1000).
+
+        The axon-relay tunnel moves ~39 MB/s (measured round 4: the f32
+        path's 2.2 MB/frame cost 57 ms — MORE than the entire 44 ms fused
+        compute step). 8 bytes/point instead of 17 turns the pipeline from
+        transfer-bound back into compute-bound. Unpack on device with
+        Cloud.from_packed inside the jitted step."""
+        n = xyz.shape[0]
+        cap = capacity if capacity is not None else n
+        if n > cap:
+            xyz = xyz[:cap]
+            intensity = intensity[:cap] if intensity is not None else None
+            n = cap
+        q = np.zeros((cap, 4), np.int16)
+        np.clip(
+            np.rint(xyz / Cloud.PACK_SCALE), -32767, 32767, out=q[:n, :3],
+            casting="unsafe",
+        )
+        if intensity is not None:
+            np.clip(
+                np.rint(intensity / Cloud.PACK_INT_SCALE), -32767, 32767,
+                out=q[:n, 3], casting="unsafe",
+            )
+        return q, n
+
+    @staticmethod
+    def from_packed(q: jax.Array, n: jax.Array, dtype=jnp.float32) -> "Cloud":
+        """Dequantize a pack_scan transfer (call INSIDE jit)."""
+        return Cloud(
+            xyz=q[:, :3].astype(dtype) * Cloud.PACK_SCALE,
+            intensity=q[:, 3].astype(dtype) * Cloud.PACK_INT_SCALE,
+            valid=jnp.arange(q.shape[0]) < n,
+        )
+
     # ---- core ops (reference PointCloud2.cpp counterparts noted) ---------
 
     def transform(self, T: jax.Array) -> "Cloud":

@@ -834,6 +834,9 @@ class _OuterState(NamedTuple):
     best_score: jax.Array = None
     best_seen: jax.Array = None
     best_it: jax.Array = None  # round index of the current best
+    # lazily-built coarse planar grid (zeros until the first coarse round)
+    coarse_grid: object = None
+    have_coarse: jax.Array = None
 
 
 def _psum(x, axis_name):
@@ -908,14 +911,26 @@ def scan_matching(
         }
         if cfg.coarse_scale:
             # the 0.2 plane-precision gate is tuned for fine windows; a
-            # coarse window legitimately spans slope/curb/facade variation
-            grids["planar_coarse"] = _build_surf_cells(
-                submap.planar,
-                cfg.planar_dist_thres * cfg.coarse_scale,
-                cells_cap(submap.planar, 2),
-                precise_thres=0.2 * cfg.coarse_scale,
+            # coarse window legitimately spans slope/curb/facade variation.
+            # Built LAZILY on the first coarse round of a solve (lax.cond
+            # in outer_body): healthy frames never go coarse, and paying
+            # the 2.4 ms build unconditionally was ~6% of the whole frame
+            # (measured r4).
+            def build_coarse():
+                return _build_surf_cells(
+                    submap.planar,
+                    cfg.planar_dist_thres * cfg.coarse_scale,
+                    cells_cap(submap.planar, 2),
+                    precise_thres=0.2 * cfg.coarse_scale,
+                )
+
+            grids["planar_coarse"] = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(build_coarse)
             )
+        else:
+            build_coarse = None
     else:
+        build_coarse = None
         gicp = cfg.plane_residual == "gicp"
         plane_cell = cfg.gicp_dist_thres if gicp else cfg.planar_dist_thres
         ground_cell = cfg.gicp_dist_thres if gicp else cfg.ground_dist_thres
@@ -998,20 +1013,35 @@ def scan_matching(
             use_coarse = st.want_coarse
         else:
             use_coarse = jnp.asarray(False)
+        # lazy coarse-grid build: constructed on the FIRST coarse round of
+        # this solve, then carried in the outer state (healthy frames never
+        # pay the ~2.4 ms build — measured r4)
+        if has_coarse and build_coarse is not None:
+            coarse_grid, have_coarse = jax.lax.cond(
+                use_coarse & ~st.have_coarse,
+                lambda: (build_coarse(), jnp.asarray(True)),
+                lambda: (st.coarse_grid, st.have_coarse),
+            )
+            round_grids = {**grids, "planar_coarse": coarse_grid}
+        else:
+            coarse_grid, have_coarse = st.coarse_grid, st.have_coarse
+            round_grids = grids
         # yaw-hypothesis fan: a coarse (lost) round first snaps xi to the
         # best of a small yaw bank (see _yaw_fan). lax.cond keeps the fan
         # off the healthy-frame execution path entirely.
         if has_coarse and cfg.yaw_fan_half > 0:
             xi_in = jax.lax.cond(
                 use_coarse,
-                lambda x: _yaw_fan(x, scan, grids["planar_coarse"], cfg, axis_name),
+                lambda x: _yaw_fan(
+                    x, scan, round_grids["planar_coarse"], cfg, axis_name
+                ),
                 lambda x: x,
                 st.xi,
             )
         else:
             xi_in = st.xi
         corr = _build_correspondences(
-            xi_in, scan, submap, grids, cfg, gicp_covs, axis_name, use_coarse
+            xi_in, scan, submap, round_grids, cfg, gicp_covs, axis_name, use_coarse
         )
 
         # mean squared GNC weight over valid correspondences: re-normalizes
@@ -1238,6 +1268,7 @@ def scan_matching(
             st.coarse_trace.at[st.it].set(use_coarse),
             st.aligned_trace.at[st.it].set(aligned),
             xi_best, best_score, best_seen, best_it,
+            coarse_grid, have_coarse,
         )
 
     init = _OuterState(
@@ -1260,6 +1291,8 @@ def scan_matching(
         best_score=jnp.asarray(jnp.inf, dtype),
         best_seen=jnp.asarray(False),
         best_it=jnp.asarray(0, jnp.int32),
+        coarse_grid=grids.get("planar_coarse"),
+        have_coarse=jnp.asarray(False),
     )
 
     # Fixed-trip loop with done-masking instead of while_loop: the early-exit

@@ -57,8 +57,10 @@ def hard_town_drive(
             rng=np.random.default_rng(i), noise=0.01,
             boxes=cars[i], dropout_sectors=occ[i], ring_stagger=stagger,
         )
-        raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
-        state, pose, diag = frontend.odometry_step(state, raw, cfg)
+        q, n = Cloud.pack_scan(xyz, inten, capacity=cap)
+        state, pose, diag = frontend.odometry_step_packed(
+            state, jnp.asarray(q), jnp.asarray(n, jnp.int32), cfg
+        )
         poses.append(np.asarray(pose))
         degenerate += int(diag.degenerate)
         if collect_diags:
