@@ -159,6 +159,17 @@ def calculate_covariances(
     w, V = eig3.eigh3(cov)
     w_max = jnp.maximum(w[..., 2:3], 1e-12)
     w_reg = jnp.maximum(w / w_max, 1e-3)
+    # Middle-eigenvalue floor (TPU-build containment; the reference clamps
+    # all three at 1e-3, calculateCov registration.cpp:404-409): LiDAR
+    # ground points at far range have LINE-like neighborhoods (one ring arc
+    # inside the kNN radius), whose normalized eigenvalues (1e-3, 1e-3, 1)
+    # make the GICP information matrix weight BOTH perpendicular directions
+    # at ~500 — including along-track — on aliased near-zero residuals.
+    # Measured (round 4): 2000 ground points contributed H_xx ~ 4.6e7 of
+    # pure "stay put" against the cross-facades' 4.6e5 of real signal, and
+    # the gicp pipeline froze at its initial pose on EVERY drive. A point
+    # is allowed one sharp direction (its surface normal), not two.
+    w_reg = w_reg.at[..., 1].max(0.1)
     out = jnp.einsum("nij,nj,nkj->nik", V, w_reg, V)
     # Points without a usable neighborhood (the reference's unbounded kNN
     # always finds k) fall back to the isotropic unit covariance.
@@ -660,13 +671,23 @@ class _Weights(NamedTuple):
 
 
 def _evaluate(
-    xi: jax.Array, scan: FeatureSet, corr: _Corr, w: _Weights
+    xi: jax.Array, scan: FeatureSet, corr: _Corr, w: _Weights,
+    gicp_cauchy_scale: float = 1.0,
 ):
     """Residuals/Jacobians/costs for every family at pose xi.
 
     Returns (H (6,6), g (6,), costs _Weights-shaped pytree of per-point GNC
     costs with zeros at invalid slots).
-    """
+
+    `gicp_cauchy_scale`: Cauchy robust-loss scale for the GICP families.
+    The reference stacks CauchyLoss(1.0) on every mode
+    (registration.cpp:970), but GICP residuals are covariance-normalized —
+    an INLIER carries |r| ~ 5 and any real initial pose error puts the
+    informative correspondences at |r| ~ 500, where CauchyLoss(1.0)'s IRLS
+    weight is ~4e-6: the gradient vanishes and the solve freezes at its
+    initial pose (measured: pose pinned at ~0 over an 11 m drive with 600
+    live correspondences). The loss scale must live on the family's own
+    residual scale (gicp_noise_bound)."""
     T = se3.exp(xi)
     dtype = xi.dtype
     H = jnp.zeros((6, 6), dtype)
@@ -691,7 +712,13 @@ def _evaluate(
 
     def gicp_family(cloud, tgt, src_cov, tgt_cov, valid, weights):
         r, J, cost = res.plane_to_plane(T, cloud.xyz, src_cov, tgt, tgt_cov, weights)
-        return vec_family(r, J, cost, valid)
+        m = valid.astype(dtype)
+        irls = res.cauchy_weight(
+            jnp.sum(r * r, axis=-1), scale=gicp_cauchy_scale
+        ) * m
+        Hf = jnp.einsum("nki,nkj,n->ij", J, J, irls)
+        gf = jnp.einsum("nki,nk,n->i", J, r, irls)
+        return Hf, gf, cost * m
 
     if corr.plane_tgt_cov is not None:
         Hp, gp, cost_p = gicp_family(
@@ -751,8 +778,10 @@ def _gn_inner(
     drive: without this, turn-onset frames (whose round-0 residuals shrink
     every weight ~100x) freeze the yaw direction for rounds 1-3."""
 
+    gicp_scale = cfg.gicp_noise_bound if cfg.plane_residual == "gicp" else 1.0
+
     def step(xi, _):
-        H, g, _ = _evaluate(xi, scan, corr, w)
+        H, g, _ = _evaluate(xi, scan, corr, w, gicp_scale)
         H = _psum(H, axis_name)
         g = _psum(g, axis_name)
         # after block normalization trace(Hn) ~ 6, so the Levenberg damping
@@ -1071,7 +1100,10 @@ def scan_matching(
 
         # final-pose costs feed the GNC weight update (the reference's cost
         # side-channels hold the values of Ceres' last Evaluate call)
-        _, _, costs = _evaluate(xi, scan, corr, st.weights)
+        _, _, costs = _evaluate(
+            xi, scan, corr, st.weights,
+            cfg.gicp_noise_bound if cfg.plane_residual == "gicp" else 1.0,
+        )
 
         planar_cost = _psum(jnp.sum(costs.planar), axis_name)
         ncorr = _psum(
