@@ -82,9 +82,14 @@ def cmd_run(args) -> int:
         if i < start_frame:
             continue
         with timer.stage("h2d"):
-            raw = Cloud.from_numpy(xyz, inten, capacity=cap, dtype=jnp.float32)
+            # packed int16 transfer (Cloud.pack_scan): 8 bytes/point instead
+            # of 17 — the tunneled-TPU relay moves ~39 MB/s, so transfer
+            # otherwise exceeds the whole fused compute step (measured r4)
+            q, n = Cloud.pack_scan(xyz, inten, capacity=cap)
+            q = jnp.asarray(q)
+            n = jnp.asarray(n, jnp.int32)
         with timer.stage("odometry_step"):
-            state, pose, diag = frontend.odometry_step(state, raw, cfg)
+            state, pose, diag = frontend.odometry_step_packed(state, q, n, cfg)
             pose.block_until_ready()
         poses.append(np.asarray(pose))
         if box_file is not None:
