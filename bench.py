@@ -130,6 +130,19 @@ def main(config: str | None = None, overrides=()) -> None:
         f"scan sizes: {[s[0].shape[0] for s in scans[:4]]} ...", file=sys.stderr
     )
 
+    # Relay-bandwidth probe: the tunneled TPU's host->device bandwidth
+    # swings between ~12 and ~39 MB/s across sessions (measured r4), which
+    # alone moves this bench between ~15 and ~30 fps at the 1.05 MB/frame
+    # packed transfer — record it so the artifact self-documents whether a
+    # given run was transfer-capped by the environment.
+    probe = jnp.asarray(np.zeros((131072, 4), np.int16))
+    np.asarray(probe[0, 0])
+    t_bw = time.time()
+    outs = [jnp.asarray(np.zeros((131072, 4), np.int16)) for _ in range(6)]
+    np.asarray(outs[-1][0, 0])
+    upload_mbps = 6 * 1.048 / (time.time() - t_bw)
+    print(f"relay upload bandwidth: {upload_mbps:.1f} MB/s", file=sys.stderr)
+
     state = frontend.init_state(cfg, jnp.float32)
     t_compile = time.time()
     for i in range(n_warm):
@@ -183,6 +196,10 @@ def main(config: str | None = None, overrides=()) -> None:
                     first.get("cache_entries_after"),
                 ],
                 "warmup_warm_s": round(warmup_s, 1),
+                # see the relay-bandwidth probe above: at 1.05 MB/frame the
+                # pipeline is transfer-bound below ~25 MB/s (compute is
+                # ~34 ms/frame; measured 29.6 fps at 39 MB/s, ~15 at 12)
+                "relay_upload_MBps": round(upload_mbps, 1),
                 "corr_mean": [round(v, 1) for v in corr.mean(0).tolist()],
                 "corr_min": corr.min(0).tolist(),
                 # regression gate: every residual family must stay populated
