@@ -109,15 +109,22 @@ def main():
             valid=jnp.ones(cap, bool),
         )
 
-    # real per-frame solver capacities (OdometryConfig scan_*_cap) and the
-    # 3-frame flattened submap windows
+    # real per-frame solver capacities read from the SHIPPED config (not
+    # literals — advisor r4: hard-coded shapes silently diverged when the
+    # defaults were halved) and the flattened submap windows
+    from tloam_tpu.pipeline.frontend import PipelineConfig
+
+    pc = PipelineConfig()
+    od = pc.odometry
     scan = FeatureSet(
-        edge=rand_cloud(4096), sphere=rand_cloud(512),
-        planar=rand_cloud(1024), ground=rand_cloud(8192),
+        edge=rand_cloud(od.scan_edge_cap), sphere=rand_cloud(od.scan_sphere_cap),
+        planar=rand_cloud(od.scan_planar_cap), ground=rand_cloud(od.scan_ground_cap),
     )
     submap = FeatureSet(
-        edge=rand_cloud(65536), sphere=rand_cloud(3072),
-        planar=rand_cloud(12288), ground=rand_cloud(16384),
+        edge=rand_cloud(od.submap_edge_cap),
+        sphere=rand_cloud(od.sphere_frame_size * pc.frame_sphere_cap),
+        planar=rand_cloud(od.planar_frame_size * pc.frame_planar_cap),
+        ground=rand_cloud(od.submap_ground_cap),
     )
     predict = jnp.eye(4, dtype=jnp.float32)
 

@@ -72,7 +72,7 @@ def cmd_run(args) -> int:
     poses = []
     start_frame = 0
     if args.resume:
-        state, saved = ckpt.load_state(args.resume, state)
+        state, saved = ckpt.load_state(args.resume, state, cfg=cfg)
         poses = list(saved)
         start_frame = len(poses)
         print(f"resumed at frame {start_frame}", file=sys.stderr)
@@ -108,7 +108,7 @@ def cmd_run(args) -> int:
                 file=sys.stderr,
             )
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
-            ckpt.save_state(args.checkpoint or "tloam_ckpt.npz", state, np.stack(poses))
+            ckpt.save_state(args.checkpoint or "tloam_ckpt.npz", state, np.stack(poses), cfg=cfg)
 
     if box_file is not None:
         box_file.close()

@@ -137,6 +137,16 @@ class Cloud:
         compute step). 8 bytes/point instead of 17 turns the pipeline from
         transfer-bound back into compute-bound. Unpack on device with
         Cloud.from_packed inside the jitted step."""
+        # points beyond int16 range are EXCLUDED (stable filter preserves the
+        # ring/azimuth scan order downstream stages rely on) — clamping would
+        # silently drag them onto a ±131 m cube shell and feed the solver
+        # phantom structure (safe for HDL-64E's 120 m range, a correctness
+        # trap for longer-range sensors; advisor r4 finding).
+        limit = 32767 * Cloud.PACK_SCALE
+        in_range = np.max(np.abs(xyz), axis=1) <= limit
+        if not in_range.all():
+            xyz = xyz[in_range]
+            intensity = intensity[in_range] if intensity is not None else None
         n = xyz.shape[0]
         cap = capacity if capacity is not None else n
         if n > cap:

@@ -322,6 +322,15 @@ class OdometryConfig:
     # (occlusion flip), re-mapping from the new view is the only way back.
     submap_health_gate: bool = True
     submap_gate_streak: int = 2
+    # extend the health gate to NEVER-ALIGNED frames that were still trusted
+    # for pose (matched above fallback_frac, so no motion-model fallback):
+    # their converged pose may carry an undetected basin error, and pushing
+    # features transformed by it poisons every map permanently. Keeping the
+    # pose but skipping the push makes such errors transient — the next
+    # frame re-localizes against the still-clean submap (SWEEP_r04 route-a
+    # seed 2: one such frame at +7.9 deg locked 7.8-9.2 deg/100 m of
+    # rotation error into 3/10 sweep runs; gate closes all three).
+    gate_never_aligned: bool = True
     # motion-model damping on unhealthy (degenerate/misaligned) frames: the
     # fallback pose IS the prediction, so the same relative step re-applies
     # every fallback frame — an erroneous yaw rate (measured -4.25 deg/frame

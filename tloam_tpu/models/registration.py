@@ -72,6 +72,15 @@ class Diagnostics(NamedTuple):
     # () bool — no GNC round ever passed the alignment gate; the pose fell
     # back to the motion-model prediction (see TLSConfig.misaligned_fallback)
     misaligned: jax.Array | None = None
+    # () bool — no GNC round ever passed the alignment gate, regardless of
+    # starvation/fallback. Strictly implied by `misaligned`; the distinction
+    # matters for frames matching ABOVE fallback_frac: their converged pose
+    # is kept (vetoing it would dead-reckon through turns) but it must NOT
+    # be trusted to extend the submap (measured, SWEEP_r04 route-a seed 2:
+    # one never-aligned post-occlusion frame that converged +7.9 deg off yet
+    # matched 24% of candidates was pushed, locking 8 deg/100 m of rotation
+    # error into every subsequent solve).
+    never_aligned: jax.Array | None = None
     # Per-round solve trace (rows = GNC outer rounds, up to max_iterations;
     # rounds not executed stay zero): correspondence counts per family,
     # mean planar cost after the round's inner solve, whether the round
@@ -1271,7 +1280,13 @@ def scan_matching(
         # planar cost + tau^2 per unmatched candidate, per candidate. The
         # unmatched penalty is what separates a half-cell translation alias
         # (marginally lower cost, fewer matches) from the true pose.
-        if cfg.best_round_tau:
+        # best-round selection and the stall exit are gated on point_to_plane
+        # (mirroring gate_on_alignment): in gicp mode costs.planar embeds GNC
+        # weights on the covariance-normalized scale, so the cross-round
+        # score comparison is dominated by monotone weight shrinkage and
+        # tau^2=0.01 is negligible against inlier costs ~25 — the mechanism
+        # silently degrades to last-round-wins (advisor r4 finding).
+        if cfg.best_round_tau and gate_on_alignment:
             tau_sq = jnp.asarray(cfg.best_round_tau**2, dtype)
             n_cand = jnp.maximum(n_planar_cand, 1).astype(dtype)
             score = (
@@ -1341,7 +1356,7 @@ def scan_matching(
     # return the BEST aligned round's xi, not the last round's (see
     # TLSConfig.best_round_tau; falls back to the final xi when no round
     # ever aligned — the misaligned-containment path below handles that)
-    if cfg.best_round_tau:
+    if cfg.best_round_tau and gate_on_alignment:
         xi_final = jnp.where(final.best_seen, final.xi_best, final.xi)
     else:
         xi_final = final.xi
@@ -1372,18 +1387,16 @@ def scan_matching(
         # `allow_fallback` lets the caller veto dead reckoning where the
         # motion model itself is untrustworthy (startup, long streaks).
         starved = final.num_corr[0] < cfg.fallback_frac * n_planar_cand
-        misaligned = (
-            ~jnp.any(final.aligned_trace)
-            & starved
-            & jnp.asarray(allow_fallback)
-        )
+        never_aligned = ~jnp.any(final.aligned_trace)
+        misaligned = never_aligned & starved & jnp.asarray(allow_fallback)
     else:
         misaligned = jnp.asarray(False)
+        never_aligned = jnp.asarray(False)
     pose_override = misaligned if cfg.misaligned_pose_fallback else jnp.asarray(False)
     pose = jnp.where(degenerate | pose_override, predict_pose.astype(dtype), pose)
     return pose, Diagnostics(
         final.it, final.mu, final.costs, final.num_corr, degenerate,
-        misaligned=misaligned,
+        misaligned=misaligned, never_aligned=never_aligned,
         corr_trace=final.corr_trace, cost_trace=final.cost_trace,
         coarse_trace=final.coarse_trace, aligned_trace=final.aligned_trace,
     )

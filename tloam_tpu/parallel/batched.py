@@ -119,6 +119,7 @@ def _diag_struct(cfg: TLSConfig):
         num_corr=jnp.zeros(4, jnp.int32),
         degenerate=jnp.asarray(False),
         misaligned=jnp.asarray(False),  # scan_matching always emits it
+        never_aligned=jnp.asarray(False),
         corr_trace=jnp.zeros((mi, 4), jnp.int32),
         cost_trace=jnp.zeros(mi),
         coarse_trace=jnp.zeros(mi, bool),

@@ -428,6 +428,7 @@ def _odometry_step_impl(
             jnp.zeros(4, jnp.int32),
             jnp.asarray(False),
             misaligned=jnp.asarray(False),
+            never_aligned=jnp.asarray(False),
             corr_trace=jnp.zeros((mi, 4), jnp.int32),
             cost_trace=jnp.zeros(mi, raw.xyz.dtype),
             coarse_trace=jnp.zeros(mi, bool),
@@ -459,6 +460,11 @@ def _odometry_step_impl(
         unhealthy = diag.degenerate | (
             diag.misaligned if diag.misaligned is not None else jnp.asarray(False)
         )
+        # never-aligned-but-trusted frames (OdometryConfig.gate_never_aligned):
+        # pose kept, but treated as unhealthy for the submap push / rotation
+        # damping / streak — see config.py rationale.
+        if cfg.odometry.gate_never_aligned and diag.never_aligned is not None:
+            unhealthy = unhealthy | diag.never_aligned
         # constant-velocity prediction (front_end.cpp:329-332). On unhealthy
         # frames the solved pose IS the prediction, so the same step would
         # re-apply verbatim — decay its rotation (see

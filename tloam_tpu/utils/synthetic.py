@@ -430,6 +430,62 @@ def town_trajectory_b(n_frames: int, step: float = 1.0, block: float = 40.0):
     return np.stack(poses)
 
 
+def town_trajectory_loop(n_frames: int, step: float = 1.0, block: float = 40.0):
+    """Unbounded-length street-following route for statistically meaningful
+    KITTI segment metrics (≥500 frames / ≥3 segment lengths): route A's
+    opening straight + stop-and-go + reverse, then a closed 4-left-turn
+    block circuit (x in [-block, 0], y in [0, block]) repeated forever.
+    Every turn arc crosses wall rows only inside Scene.town's intersection
+    gaps, and the path never leaves the scene — so a 500+ frame drive keeps
+    full scan density the whole way, unlike routes A/B whose tail straights
+    eventually exit the world extent."""
+    R_frames = 16
+    w = (np.pi / 2) / R_frames / step
+    prelude = [
+        (36, step, 0.0),         # west->east along the y=0 street
+        (7, 0.0, 0.0),           # stop-and-go
+        (10, -0.5 * step, 0.0),  # reverse
+        (5, step, 0.0),          # recover to the x=0 intersection
+    ]
+    lap = [
+        (R_frames, step, w),     # left onto x=0, heading north
+        (20, step, 0.0),         # to y=30
+        (R_frames, step, w),     # left onto y=block, heading west
+        (20, step, 0.0),         # to x=-30
+        (R_frames, step, w),     # left onto x=-block, heading south
+        (20, step, 0.0),         # to y=10
+        (R_frames, step, w),     # left onto y=0, heading east
+        (20, step, 0.0),         # back to x=-10
+    ]
+    x, y, yaw = -46.0, 0.0, 0.0
+    poses = []
+
+    def emit():
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        T[0, 3], T[1, 3] = x, y
+        poses.append(T)
+
+    def run(segs):
+        nonlocal x, y, yaw
+        for n, v, wr in segs:
+            for _ in range(n):
+                if len(poses) >= n_frames:
+                    return True
+                emit()
+                x += v * np.cos(yaw)
+                y += v * np.sin(yaw)
+                yaw += wr * abs(v) if v else 0.0
+        return False
+
+    if run(prelude):
+        return np.stack(poses)
+    while not run(lap):
+        pass
+    return np.stack(poses)
+
+
 def moving_cars(
     n_frames: int,
     rng: np.random.Generator,
