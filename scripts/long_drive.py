@@ -1,10 +1,11 @@
-"""Long-horizon accuracy proxy (VERDICT r1 weak #5 / next #7): 100+ frame
-synthetic drive with turns, stop-and-go, and a reverse segment; reports the
-KITTI segment metrics (t% and deg/100m — README.md:31-36) plus ATE and a
-drift curve. Writes LONGDRIVE_r{N}.json at the repo root.
+"""Long-horizon accuracy artifact (VERDICT r4 next #3/#6): synthetic town
+drive through the shared drives harness (cached raycasts), reporting KITTI
+segment metrics (t% and deg/100m — reference README.md:31-36) with the
+per-length breakdown, ATE/RPE, and a drift curve. Writes LONGDRIVE_r{N}.json.
 
-Run on TPU (default env) or CPU (JAX_PLATFORMS=cpu ... after conftest-style
-override — see scripts/diag_seq.py).
+Route 'c' (town_trajectory_loop) supports arbitrarily long drives (500+
+frames) whose KITTI metric averages several segment lengths; --f32 runs the
+unpacked float path for the packed-vs-f32 accuracy comparison.
 """
 from __future__ import annotations
 
@@ -21,104 +22,71 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=2)
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--route", default="a")
     ap.add_argument("--rings", type=int, default=64)
     ap.add_argument("--az", type=int, default=1870)
+    ap.add_argument("--world", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--f32", action="store_true",
+                    help="unpacked f32 transfer instead of the int16 packed path")
+    ap.add_argument("--easy", action="store_true",
+                    help="disable moving cars / occlusions / ring stagger")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
-    ap.add_argument(
-        "--hard", action="store_true",
-        help="KITTI-realism add-ons (VERDICT r2 #9): 8 moving cars, "
-        "occlusion sector dropouts on ~25%% of frames, HDL-64 per-ring "
-        "azimuth stagger",
-    )
     args = ap.parse_args()
 
-    import jax.numpy as jnp
-
-    from tloam_tpu.cloud import Cloud
-    from tloam_tpu.pipeline import frontend
-    from tloam_tpu.utils import synthetic, trajectory
-
     from tloam_tpu.config import load_pipeline_config
+    from tloam_tpu.utils import drives, trajectory
 
     cfg = load_pipeline_config(None, args.set)
-    cap = 1 << int(np.ceil(np.log2(args.rings * args.az)))
-    # Manhattan town: turns lead into cross streets, like real urban
-    # driving — the single-street `urban` scene starves any path that
-    # leaves its corridor (measured: planar corr -> 0 for whole frame
-    # stretches), which tests the scene, not the pipeline.
-    scene = synthetic.Scene.town(np.random.default_rng(3), extent=140.0)
-    # street-following route (straights + 3 turns + stop + reverse):
-    # varied_trajectory was built for open worlds and drove mid-block
-    # through town buildings — an unphysical instantaneous full-view flip
-    gt = synthetic.town_trajectory(args.frames, step=1.0)
-    if args.hard:
-        cars = synthetic.moving_cars(
-            args.frames, np.random.default_rng(11), n_cars=8, extent=140.0
-        )
-        occ = synthetic.occlusion_schedule(args.frames, np.random.default_rng(12))
-        stagger = 0.002
-    else:
-        cars = [None] * args.frames
-        occ = [None] * args.frames
-        stagger = 0.0
+    t0 = time.time()
+    est, gt_rel, info = drives.hard_town_drive(
+        cfg, frames=args.frames, route=args.route,
+        world_seed=args.world, cars_seed=args.world + 8,
+        occ_seed=args.world + 9, rings=args.rings, az=args.az,
+        hard=not args.easy, packed=not args.f32,
+        progress=lambda i, p, d: print(f"f{i}", file=sys.stderr, flush=True),
+    )
+    m = drives.drive_metrics(est, gt_rel)
 
-    state = frontend.init_state(cfg, jnp.float32)
-    poses, degenerate_frames = [], 0
-    t_start = time.time()
-    for i in range(args.frames):
-        xyz, inten = synthetic.simulate_scan(
-            gt[i], scene, rings=args.rings, az_steps=args.az,
-            rng=np.random.default_rng(i), noise=0.01,
-            boxes=cars[i], dropout_sectors=occ[i], ring_stagger=stagger,
+    # per-segment-length breakdown (KITTI averages lengths 100..800; a
+    # 120-frame drive only reaches 100 m — the 500+ frame route-c drive is
+    # what makes the headline statistically meaningful, VERDICT r4 #5)
+    per_len = {}
+    for L in (100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0):
+        t_err, r_err, n = trajectory.kitti_odometry_errors(
+            gt_rel, est, lengths=(L,), return_count=True
         )
-        q, n = Cloud.pack_scan(xyz, inten, capacity=cap)
-        state, pose, diag = frontend.odometry_step_packed(
-            state, jnp.asarray(q), jnp.asarray(n, jnp.int32), cfg
-        )
-        poses.append(np.asarray(pose))
-        degenerate_frames += int(diag.degenerate)
-        if i % 20 == 0:
-            print(
-                f"frame {i}: t={np.asarray(pose)[:3,3].round(2)} "
-                f"corr={np.asarray(diag.num_corr)}",
-                file=sys.stderr, flush=True,
-            )
-    wall = time.time() - t_start
-    est = np.stack(poses)
-
-    gt_sensor = gt.copy()
-    gt_sensor[:, 2, 3] += 1.73
-    gt_rel = np.linalg.inv(gt_sensor[0])[None] @ gt_sensor
-
-    t_err, r_err = trajectory.kitti_odometry_errors(gt_rel, est)
-    ate = trajectory.ate_rmse(gt_rel, est)
-    rpe_t, rpe_r = trajectory.rpe(gt_rel, est)
-    drift = np.linalg.norm(est[:, :3, 3] - gt_rel[:, :3, 3], axis=1)
+        if n:
+            per_len[str(int(L))] = {
+                "t_err_pct": round(float(t_err), 4),
+                "r_err_deg_per_100m": round(float(r_err), 4),
+                "segments": int(n),
+            }
 
     payload = {
-        "metric": "long_horizon_varied_drive",
+        "metric": "long_drive_kitti_errors",
         "frames": args.frames,
-        "kitti_t_err_pct": None if np.isnan(t_err) else round(float(t_err), 4),
-        "kitti_r_err_deg_per_100m": None if np.isnan(r_err) else round(float(r_err), 4),
-        "ate_rmse_m": round(float(ate), 4),
-        "rpe_trans_m": round(float(rpe_t), 4),
-        "rpe_rot_deg": round(float(rpe_r), 4),
-        "final_drift_m": round(float(drift[-1]), 4),
-        "max_drift_m": round(float(drift.max()), 4),
-        "drift_curve_every10": [round(float(d), 3) for d in drift[::10]],
-        "degenerate_frames": degenerate_frames,
-        "wall_s": round(wall, 1),
-        "regimes": "straight+3 turns+stop+reverse (synthetic.town_trajectory)"
-        + (" + moving cars + occlusion dropouts + ring stagger" if args.hard else ""),
+        "route": args.route,
+        "world_seed": args.world,
+        "transfer": "f32" if args.f32 else "packed_int16",
+        "hard": not args.easy,
+        "config_overrides": args.set,
+        "per_segment_length": per_len,
+        "segment_lengths_contributing": len(per_len),
+        "wall_s": round(info["wall_s"], 1),
+        "degenerate_frames": info["degenerate_frames"],
+        **m,
     }
     out = args.out or f"LONGDRIVE_r{args.round:02d}.json"
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
-    trajectory.save_kitti(out.replace(".json", "_traj.txt"), est)
-    print(json.dumps(payload))
+    traj_out = out.replace(".json", "_traj.txt")
+    trajectory.save_kitti(traj_out, est)
+    print(json.dumps({k: payload[k] for k in (
+        "kitti_t_err_pct", "kitti_r_err_deg_per_100m", "ate_rmse_m",
+        "segment_lengths_contributing")}))
 
 
 if __name__ == "__main__":

@@ -260,6 +260,17 @@ class TLSConfig:
     # misalignment signal (startup frame 1: 297/1024 matched, mean cost
     # small, pose 0.84 m off — measured). Healthy tracking sits at 0.7-0.9.
     relocal_frac: float = 0.5
+    # GNC engagement floor — deliberately LOWER than relocal_frac: mu
+    # seeding / weight updates only need residuals to measure local fit
+    # (mean planar cost under coarse_cost_thres), not a majority match.
+    # Worlds with legitimately thin match fractions (fresh geometry each
+    # frame; route-a world 407 tracks at 0.07 m drift without ever reaching
+    # 0.5) otherwise never engage GNC at all and solve UNWEIGHTED with
+    # moving-car outliers in every round — the measured source of their
+    # knife-edge sensitivity (r5: flipping failures across numerically
+    # equivalent refactors). The cost gate still guards against seeding mu
+    # while grossly misaligned.
+    gnc_frac: float = 0.5
     # alignment gate (mean planar point-to-plane cost, m^2) deciding both
     # (a) when a coarse round is needed and (b) when GNC may engage:
     # 2e-3 = mean |r| ~ 4.5 cm. Healthy tracking sits at ~1e-4; turn-onset /
@@ -292,6 +303,16 @@ class TLSConfig:
     # measured: a 44%-matched healthy recovery solve was held at a stale
     # 0.35 m/frame fallback step for 3 extra frames by a 0.5 trigger.
     fallback_frac: float = 0.2
+    # starved-round revert: a fine GNC round that matched fewer than
+    # fallback_frac of the planar candidates does not commit its xi delta —
+    # the coarse round / yaw fan that follows restarts from the round's
+    # INPUT estimate (the motion model on round 0) instead of a pose solved
+    # on an aliased 4% sliver. Measured (SWEEP_r04 route-a world 205 f19):
+    # without this, a post-occlusion recovery round matched 41/900, moved
+    # xi into a +7 deg yaw basin, and the fan — scored about the moved xi,
+    # reach ±6 deg — locked the wrong basin permanently (7.9 deg/100 m
+    # rotation error for the remaining 100 frames).
+    revert_starved_rounds: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -322,15 +343,18 @@ class OdometryConfig:
     # (occlusion flip), re-mapping from the new view is the only way back.
     submap_health_gate: bool = True
     submap_gate_streak: int = 2
-    # extend the health gate to NEVER-ALIGNED frames that were still trusted
-    # for pose (matched above fallback_frac, so no motion-model fallback):
-    # their converged pose may carry an undetected basin error, and pushing
-    # features transformed by it poisons every map permanently. Keeping the
-    # pose but skipping the push makes such errors transient — the next
-    # frame re-localizes against the still-clean submap (SWEEP_r04 route-a
-    # seed 2: one such frame at +7.9 deg locked 7.8-9.2 deg/100 m of
-    # rotation error into 3/10 sweep runs; gate closes all three).
-    gate_never_aligned: bool = True
+    # never-aligned push veto: a frame whose solve passed NO alignment round
+    # yet was trusted for pose (matched above fallback_frac) may carry an
+    # undetected basin error — its features are kept OUT of the submap for
+    # the first submap_gate_streak consecutive unvalidated frames, so the
+    # next frame can re-localize against a still-clean map (SWEEP_r04
+    # route-a world 205: one such frame at +7.9 deg permanently poisoned the
+    # submap). The veto deliberately expires after submap_gate_streak frames
+    # and never touches rotation damping or the fallback streak: on worlds
+    # where the alignment gate is chronically unattainable (route-a world
+    # 407 tracks at 0.07 m drift without ever passing it), stronger
+    # treatment froze the map / dead-reckoned through turns (measured r5).
+    gate_never_aligned: bool = False
     # motion-model damping on unhealthy (degenerate/misaligned) frames: the
     # fallback pose IS the prediction, so the same relative step re-applies
     # every fallback frame — an erroneous yaw rate (measured -4.25 deg/frame
@@ -339,6 +363,17 @@ class OdometryConfig:
     # inertia does not: decay the rotation part of the step, keep
     # translation. 1.0 = no damping.
     fallback_rot_decay: float = 0.5
+    # physical step clamp: a solved frame-to-frame translation exceeding
+    # model_speed + max_step_accel*(1 + consecutive_clamps) metres is not a
+    # vehicle motion — it is an aliased solve. The frame keeps the
+    # motion-model pose instead (and counts as unhealthy). The bound OPENS
+    # linearly with consecutive clamped frames so a genuine large
+    # re-localization correction is admitted after ~|offset|/accel frames,
+    # while the measured runaway mode (route-a world 306 r5: solved steps
+    # 1.3 -> 3.4 -> 9 m/frame, 998 m of drift in 100 frames) is braked to
+    # linear growth. 0.75 m/frame^2 = 75 m/s^2 at 10 Hz — far beyond any
+    # car, so legitimate accelerations are never touched. 0 disables.
+    max_step_accel: float = 0.75
     tls: TLSConfig = dataclasses.field(default_factory=TLSConfig)
 
     # --- static buffer capacities (TPU build; power-of-two friendly) ---

@@ -34,8 +34,11 @@ from tloam_tpu.config import DCVCConfig, SensorConfig
 
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
 _SENT = jnp.iinfo(jnp.int32).max
-_POLAR_CAP = 512  # static cap on radial bins (~400 used for 120 m range)
-_PITCH_CAP = 48  # static cap on pitch bins (HDL-64 vertical FOV / 1.2 deg ~ 23)
+_POLAR_CAP = 512  # static cap on radial bins (~468 used for 120 m range)
+# static cap on pitch bins: HDL-64 vertical FOV / 1.2 deg ~ 23, and ray
+# elevation is sensor-bounded (max +2 deg), so 32 leaves 9 bins of headroom
+# while cutting the dense CC volume (pitch is its major axis) by a third
+_PITCH_CAP = 32
 
 
 def _hash3(c: jax.Array) -> jax.Array:
@@ -119,33 +122,48 @@ def _voxelize(coords: jax.Array, ok: jax.Array, max_voxels: int):
 
     Returns (vox_coords (V,3), vox_valid (V,), point_vox (N,) index into the
     voxel table or -1)."""
+    from tloam_tpu.ops.voxel import sort_with_payload, unpermute
+
     n = coords.shape[0]
     c = jnp.where(ok[:, None], coords, _SENT)
     pkeys = jnp.where(ok, _hash3(c), _SENT)
-    order = jnp.argsort(pkeys)  # single-pass; boundaries below use exact coords
-    # packed (N,4) row-take + (N,4) row-scatter (TPU pays per row)
-    ps = jnp.take(
-        jnp.concatenate([c, ok[:, None].astype(jnp.int32)], axis=1), order, axis=0
+    # three payload sorts replace argsort + (N,4) take + two (N,·) scatters
+    # (each ~0.4 ms at 49k rows vs ~0.03 ms per sort — r5 HLO profile):
+    # boundaries below still use exact coords
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, cxs, cys, czs, oks_i, idx_s = sort_with_payload(
+        pkeys, c[:, 0], c[:, 1], c[:, 2], ok.astype(jnp.int32), idx
     )
-    cs = ps[:, :3]
-    ok_s = ps[:, 3] > 0
+    ok_s = oks_i > 0
     first = jnp.concatenate(
-        [jnp.ones((1,), bool), jnp.any(cs[1:] != cs[:-1], axis=-1)]
+        [
+            jnp.ones((1,), bool),
+            (cxs[1:] != cxs[:-1]) | (cys[1:] != cys[:-1]) | (czs[1:] != czs[:-1]),
+        ]
     )
     seg = jnp.cumsum(first) - 1
     seg = jnp.where(ok_s, seg, max_voxels)  # invalid -> overflow bucket
     seg_c = jnp.minimum(seg, max_voxels)
 
-    vox_rows = jnp.full((max_voxels + 1, 4), _SENT, jnp.int32).at[seg_c].set(
-        jnp.where(ok_s[:, None], ps, _SENT)
-    )[:max_voxels]
-    vox_coords = vox_rows[:, :3]
-    vox_valid = vox_rows[:, 3] == 1
+    # voxel table = run-start rows compacted in seg order (second sort)
+    start_key = jnp.where(first & ok_s & (seg < max_voxels), seg, _SENT)
+    sk, vx, vy, vz = sort_with_payload(start_key, cxs, cys, czs)
 
-    point_vox = jnp.full((n,), -1, jnp.int32)
-    point_vox = point_vox.at[order].set(
-        jnp.where(ok_s & (seg < max_voxels), seg_c, -1).astype(jnp.int32)
-    )
+    def takepad(a):  # static slice/pad to max_voxels (n may be smaller)
+        if a.shape[0] >= max_voxels:
+            return a[:max_voxels]
+        return jnp.pad(a, (0, max_voxels - a.shape[0]), constant_values=_SENT)
+
+    sk, vx, vy, vz = takepad(sk), takepad(vx), takepad(vy), takepad(vz)
+    vox_valid = sk < _SENT
+    vi = vox_valid.astype(jnp.int32)
+    vox_coords = jnp.stack(
+        [vx * vi, vy * vi, vz * vi], axis=1
+    ) + jnp.where(vox_valid, 0, _SENT)[:, None]
+
+    # per-point voxel id back in original order (third sort, not a scatter)
+    pv_sorted = jnp.where(ok_s & (seg < max_voxels), seg_c, -1).astype(jnp.int32)
+    point_vox = unpermute(idx_s, pv_sorted)
     return vox_coords, vox_valid, point_vox
 
 

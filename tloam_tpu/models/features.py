@@ -36,6 +36,29 @@ from tloam_tpu.config import FeatureConfig
 from tloam_tpu.ops import eig3, voxel
 
 
+def matmul_histogram(key: jax.Array, n_bins: int, dtype=jnp.float32) -> jax.Array:
+    """Histogram of int keys in [0, n_bins) (out-of-range ignored) as a
+    two-factor one-hot MXU matmul instead of a scatter-add.
+
+    TPU scatter-adds pay per input ROW (~0.4 ms at 49k rows, measured r5 HLO
+    profile); factorizing bin = hi*128 + lo makes the count matrix
+    count[hi, lo] = OH_hi^T @ OH_lo — a (H,N)@(N,128) matmul (~0.03 ms) plus
+    two one-hot compares. n_bins must be a multiple of 128."""
+    assert n_bins % 128 == 0, n_bins
+    H = n_bins // 128
+    ok = (key >= 0) & (key < n_bins)
+    k = jnp.where(ok, key, 0)
+    hi = (k >> 7).astype(jnp.int32)
+    lo = (k & 127).astype(jnp.int32)
+    oh_hi = (hi[:, None] == jnp.arange(H, dtype=jnp.int32)[None, :]) & ok[:, None]
+    oh_lo = (lo[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]) & ok[:, None]
+    counts = jax.lax.dot_general(
+        oh_hi.astype(dtype), oh_lo.astype(dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (H, 128)
+    return counts.reshape(n_bins).astype(jnp.int32)
+
+
 class PCAInfo(NamedTuple):
     normal: jax.Array  # (N,3) smallest-eigenvector direction
     cvr: jax.Array  # (N,)
@@ -186,10 +209,8 @@ def top_k_mask(score: jax.Array, cls: jax.Array, k: int, bins: int = 2048) -> ja
     width = jnp.maximum(hi - lo, 1e-12)
 
     b = jnp.clip(((score - lo) / width * bins).astype(jnp.int32), 0, bins - 1)
-    b = jnp.where(cls, b, bins)  # overflow bucket for unclassified
-    hist = jax.ops.segment_sum(
-        jnp.ones_like(b, dtype=jnp.int32), b, num_segments=bins + 1
-    )[:bins]
+    b = jnp.where(cls, b, bins)  # out-of-range: ignored by matmul_histogram
+    hist = matmul_histogram(b, bins)
     # number of points in bin >= t, per t
     from_top = jnp.cumsum(hist[::-1])[::-1]
     meets = from_top >= k
@@ -228,9 +249,7 @@ def top_k_mask_segmented(
     b = jnp.clip(((score - lo) / width * bins).astype(jnp.int32), 0, bins - 1)
     seg_c = jnp.clip(seg, 0, n_seg - 1)
     key = jnp.where(cls, seg_c * bins + b, n_seg * bins)
-    hist = jax.ops.segment_sum(
-        jnp.ones_like(key, dtype=jnp.int32), key, num_segments=n_seg * bins + 1
-    )[: n_seg * bins].reshape(n_seg, bins)
+    hist = matmul_histogram(key, n_seg * bins).reshape(n_seg, bins)
     from_top = jnp.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # (n_seg, bins)
     meets = from_top >= k
     bstar = jnp.max(

@@ -334,30 +334,89 @@ def _build_surf_cells(
     )
 
 
+_QSEL = None  # lazily-built constant lane-selection matrices
+
+
+def _qsel_consts(dtype):
+    """Constant matrices for the lane-layout surf-cell query (see
+    _query_surf_cells): P (3,128) broadcasts scan coords onto record
+    coordinate lanes; CMASK/OMASK (128,) select coord / occupancy lanes;
+    S (128,8) sums each slot's 4 scoring lanes; M (128,16) collapses one
+    masked slot group to its 16 record fields."""
+    import numpy as _np
+
+    P = _np.zeros((3, 128), _np.float32)
+    CM = _np.zeros((128,), _np.float32)
+    OM = _np.zeros((128,), _np.float32)
+    S = _np.zeros((128, 8), _np.float32)
+    M = _np.zeros((128, 16), _np.float32)
+    for l in range(128):
+        s, f = l >> 4, l & 15
+        M[l, f] = 1.0
+        if f < 3:
+            P[f, l] = 1.0
+            CM[l] = 1.0
+            S[l, s] = 1.0
+        if f == 12:
+            OM[l] = 1.0
+            S[l, s] = 1.0
+    return tuple(jnp.asarray(a, dtype) for a in (P, CM, OM, S, M))
+
+
 def _query_surf_cells(cells: _SurfCells, scan_w: jax.Array, scan_valid: jax.Array):
     """8 block probes + 8 block-row fetches -> the matched cell with the
     nearest window centroid, its full record already in registers. Returns
-    data (13, Q) for the best cell per query plus (found (Q,), centroid
-    distance (Q,))."""
+    data (16, Q) for the best cell per query plus (found (Q,), centroid
+    distance (Q,)).
+
+    Everything is computed in the fetched rows' NATIVE (Q, 8, 128) lane
+    layout: candidate distances come from a masked lane-diff + an MXU slot
+    reduction, and the winner's record from a one-hot row/group select + a
+    (128,16) collapse matmul. The previous (Q,64,16) formulation forced two
+    full layout transposes of a ~4M-element tensor per family per GNC round
+    (~1.8 ms/frame on the ground family alone — r5 HLO profile)."""
     Q = scan_w.shape[0]
+    dtype = scan_w.dtype
+    P, CMASK, OMASK, S, M = _qsel_consts(dtype)
     qc = jnp.floor(scan_w / cells.cell_size).astype(jnp.int32)
     rows, found, _, window = voxel.block_window_probe(
         cells.bt, qc[:, 0], qc[:, 1], qc[:, 2]
-    )
-    rec = voxel.block_window_records(cells.surf, rows, found)  # (Q,64,16)
+    )  # window: (Q,64) bool, candidate c = e*8 + s
+    r = jnp.take(cells.surf, jnp.where(found, rows, 0), axis=0)  # (Q,8,128)
+    r = r * found[:, :, None].astype(dtype)
 
-    occ = window & (rec[:, :, 12] > 0.5) & scan_valid[:, None]
-    dx = rec[:, :, 0] - scan_w[:, 0:1]
-    dy = rec[:, :, 1] - scan_w[:, 1:2]
-    dz = rec[:, :, 2] - scan_w[:, 2:3]
-    dist_sq = dx * dx + dy * dy + dz * dz
-    BIG = jnp.asarray(jnp.finfo(scan_w.dtype).max, scan_w.dtype)
-    dist_sq = jnp.where(occ, dist_sq, BIG)
+    # scan coords broadcast onto the coordinate lanes of every slot
+    qb = jax.lax.dot_general(
+        scan_w, P, (((1,), (0,)), ((), ())), preferred_element_type=dtype
+    )  # (Q,128)
+    diff = r - qb[:, None, :]
+    K = jnp.asarray(1e12, dtype)
+    # per-lane score: coord lanes carry squared diffs; each slot's occupancy
+    # lane carries a huge penalty when the cell is empty (record 0.0)
+    contrib = diff * diff * CMASK + (K - K * r) * OMASK  # (Q,8,128)
+    dsq = jax.lax.dot_general(
+        contrib.reshape(Q * 8, 128), S, (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    ).reshape(Q, 64)  # candidate c = e*8 + s
+    BIG = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    dist_sq = jnp.where(window & scan_valid[:, None], dsq, BIG)
     best = jnp.argmin(dist_sq, axis=1)  # (Q,)
-    best_data = jnp.take_along_axis(rec, best[:, None, None], axis=1)[:, 0, :].T
-    best_d = jnp.take_along_axis(dist_sq, best[:, None], axis=1)[:, 0]
-    ok = best_d < BIG
-    return best_data, ok, jnp.sqrt(jnp.where(ok, best_d, 0.0))
+    best_d = jnp.min(dist_sq, axis=1)
+    ok = best_d < K * 0.5  # occupancy-penalized candidates are not matches
+
+    # winner record: one-hot block select + slot-group mask + field collapse
+    e_best, s_best = best >> 3, best & 7
+    eoh = (
+        e_best[:, None] == jnp.arange(8, dtype=jnp.int32)[None, :]
+    ).astype(dtype)
+    bestrow = jnp.einsum("qe,qel->ql", eoh, r)  # (Q,128)
+    lane = jnp.arange(128, dtype=jnp.int32)
+    grp = ((lane[None, :] >> 4) == s_best[:, None]).astype(dtype)
+    best_data = jax.lax.dot_general(
+        bestrow * grp, M, (((1,), (0,)), ((), ())), preferred_element_type=dtype
+    ).T  # (16, Q)
+    best_d = jnp.where(ok, best_d, 0.0)
+    return best_data, ok, jnp.sqrt(jnp.maximum(best_d, 0.0))
 
 
 def _plane_correspondences_cell(
@@ -586,7 +645,7 @@ def _build_correspondences(
     # costs never touch the GNC weights or mu (see outer_body) — coarse-
     # plane residuals would poison the schedule.
     planar_gate_scale = cfg.cell_gate_scale
-    if use_coarse is not None and "planar_coarse" in grids:
+    if use_coarse is not None and "planar_coarse" in grids and gicp_covs is None:
         # PLANAR only: the lost-tracking signature is planar corr == 0
         # (ground is horizontally homogeneous — it matches at fine reach
         # even metres off-pose, so a coarse ground round adds nothing for
@@ -639,6 +698,29 @@ def _build_correspondences(
             cfg.planar_maxnum, cfg.max_per_cell, axis_name,
         )
         pd = jnp.zeros(pn.shape[0], pn.dtype)
+        if use_coarse is not None and "planar_coarse" in grids:
+            # GICP coarse rounds: match point-to-plane against the coarse
+            # cell grid, expressed in the gicp correspondence structure —
+            # target = projection of the (transformed) scan point onto the
+            # matched coarse plane, covariance = identity. The combined
+            # GICP information matrix then constrains exactly the plane-
+            # normal direction (tangential residual is zero by
+            # construction), which is the basin-widening behavior coarse
+            # rounds exist for. GNC weights/mu never advance on coarse
+            # rounds, so the scale mismatch cannot poison the schedule.
+            cn, cd, cv = _plane_correspondences_cell(
+                grids["planar_coarse"], planar_w, scan.planar.valid,
+                cfg.planar_dist_thres, cfg.planar_maxnum, axis_name, 1.5,
+            )
+            proj = planar_w - cn * (
+                jnp.einsum("nj,nj->n", planar_w, cn) + cd
+            )[:, None]
+            eye = jnp.broadcast_to(
+                jnp.eye(3, dtype=pn.dtype), p_cov.shape
+            )
+            pn = jnp.where(use_coarse, proj, pn)
+            pv = jnp.where(use_coarse, cv, pv)
+            p_cov = jnp.where(use_coarse, eye, p_cov)
         # NOTE: addGroundCostFactor2 searches ground with the PLANAR
         # threshold (registration.cpp:813) — both families share
         # gicp_dist_thres here (see its config rationale)
@@ -968,7 +1050,6 @@ def scan_matching(
         else:
             build_coarse = None
     else:
-        build_coarse = None
         gicp = cfg.plane_residual == "gicp"
         plane_cell = cfg.gicp_dist_thres if gicp else cfg.planar_dist_thres
         ground_cell = cfg.gicp_dist_thres if gicp else cfg.ground_dist_thres
@@ -986,6 +1067,28 @@ def scan_matching(
                 submap.ground.xyz, submap.ground.valid, ground_cell
             ),
         }
+        if gicp and cfg.coarse_scale:
+            # coarse re-localization for GICP (VERDICT r4 next #4): the
+            # basin-escape machinery (coarse cell-plane rounds + yaw fan) is
+            # residual-family agnostic — coarse rounds match point-to-plane
+            # against a coarse_scale cell grid regardless of what the fine
+            # rounds solve. The reference's GICP variant has no coarse
+            # machinery either (registration.cpp:649-702,792-845), but ours
+            # exists and not engaging it left gicp unable to survive a
+            # 1 m/frame cold start (MODES_r04 gicp ATE 12.5 m).
+            def build_coarse():
+                return _build_surf_cells(
+                    submap.planar,
+                    cfg.planar_dist_thres * cfg.coarse_scale,
+                    max(1024, min(submap.planar.capacity // 2, 65536)),
+                    precise_thres=0.2 * cfg.coarse_scale,
+                )
+
+            grids["planar_coarse"] = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(build_coarse)
+            )
+        else:
+            build_coarse = None
 
     has_coarse = "planar_coarse" in grids
 
@@ -1151,6 +1254,30 @@ def scan_matching(
                                          cfg.coarse_cost_thres))
             & (ncorr[0] > 0)
         )
+        # Starved-round revert (TLSConfig.revert_starved_rounds): a FINE
+        # round that matched under fallback_frac of the planar candidates
+        # solved on an aliased sliver and must not commit its delta — the
+        # following coarse round / yaw fan would otherwise restart from the
+        # polluted estimate instead of the motion model. Measured (SWEEP_r04
+        # route-a world 205, f19): post-occlusion recovery round 0 matched
+        # 41/900 yet moved xi into a +7 deg basin; the fan (reach ±6 deg,
+        # scored about the moved xi) then locked the wrong basin and the
+        # drive never re-aligned — 7.9 deg of permanent rotation error.
+        # ROUND 0 ONLY: the motion-model input is the one trustworthy
+        # restart point. Later fine rounds follow coarse/yaw-fan rounds
+        # whose output already won a robust truncated-cost vote — reverting
+        # those discards the solver's only measurement exactly where matches
+        # are structurally sparse (measured, route-a world 407: a chronic
+        # low-frac world's right turn matched 5-10%; full-depth reverts
+        # dead-reckoned through it at 20 deg of permanent heading error).
+        if gate_on_alignment and cfg.revert_starved_rounds:
+            revert_starved = (
+                ~use_coarse
+                & (st.it == 0)
+                & (ncorr[0] < cfg.fallback_frac * n_planar_cand)
+            )
+        else:
+            revert_starved = jnp.asarray(False)
 
         # Alignment test on this round's converged solution: GNC (mu seeding
         # + weight updates) only engages once the scan is roughly aligned.
@@ -1166,12 +1293,23 @@ def scan_matching(
                 (mean_planar <= cfg.coarse_cost_thres) & frac_ok
                 & (ncorr[0] > 0) & ~use_coarse & ~revert
             )
+            # GNC may engage BELOW the alignment frac (TLSConfig.gnc_frac):
+            # low residuals + a material match fraction mean the residuals
+            # measure fit, not pose error — worlds whose attainable match
+            # fraction never reaches relocal_frac must still get outlier
+            # weighting (see config rationale).
+            gnc_ok = (
+                (mean_planar <= cfg.coarse_cost_thres)
+                & (ncorr[0] >= cfg.gnc_frac * n_planar_cand)
+                & (ncorr[0] > 0) & ~use_coarse & ~revert & ~revert_starved
+            )
         else:
             aligned = (ncorr[0] > 0) & ~use_coarse & ~revert
+            gnc_ok = aligned
 
-        # mu initialisation on the first aligned fine round (reference:
+        # mu initialisation on the first GNC-eligible fine round (reference:
         # registration.cpp:1027-1033, executed before the first solve).
-        first_fine = ~st.mu_inited & aligned
+        first_fine = ~st.mu_inited & gnc_ok
         if cfg.mu_init == "reference_zero":
             # The reference reads still-zeroed residual buffers => mu = 1e-10.
             mu = jnp.where(first_fine, jnp.asarray(1e-10, dtype), st.mu)
@@ -1210,7 +1348,7 @@ def scan_matching(
         # (they would zero every weight); reset the weights to 1 instead —
         # the next round re-solves unweighted from the reverted (good) xi,
         # and its update re-engages with the ramped (softer) mu.
-        do_update = mu_inited & ~use_coarse
+        do_update = mu_inited & ~use_coarse & ~revert_starved
         new_w = jax.tree.map(
             lambda old, new: jnp.where(do_update, new, old), st.weights, new_w
         )
@@ -1230,8 +1368,18 @@ def scan_matching(
         # coarse planes are legitimately large; alignment is re-measured on
         # the fine round that follows)
         if has_coarse:
+            lost = ~aligned | (ncorr[0] < cfg.relocal_corr_thres)
+            if not gate_on_alignment:
+                # gicp has no metric alignment gate (its costs live on the
+                # covariance-normalized scale), but the matched FRACTION is
+                # scale-free: a fine round that matched under relocal_frac
+                # of the planar candidates is lost (cold start, occlusion
+                # flip) and the next round goes coarse.
+                lost = lost | (
+                    ncorr[0] < cfg.relocal_frac * n_planar_cand
+                )
             want_coarse = (
-                (~aligned | (ncorr[0] < cfg.relocal_corr_thres))
+                lost
                 & ~use_coarse
                 & ~revert  # reverted to a good xi: next fine round refines
             )
@@ -1257,6 +1405,7 @@ def scan_matching(
             & ~use_coarse
             & ~want_coarse
             & ~revert
+            & ~revert_starved
         )
         if cfg.exit_cost_thres:
             # alignment-based early exit (TLSConfig.exit_cost_thres): the
@@ -1272,9 +1421,10 @@ def scan_matching(
                 & (mean_planar < cfg.exit_cost_thres)
                 & (st.it >= 2)
             )
-        xi = jnp.where(revert, st.xi, xi)
+        xi = jnp.where(revert | revert_starved, st.xi, xi)
         prev_mean = jnp.where(
-            use_coarse | revert, st.prev_mean_planar, mean_planar
+            use_coarse | revert | revert_starved,
+            st.prev_mean_planar, mean_planar,
         )
         # best-round tracking (TLSConfig.best_round_tau): robust score =
         # planar cost + tau^2 per unmatched candidate, per candidate. The

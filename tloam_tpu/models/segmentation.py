@@ -72,11 +72,15 @@ def estimate_rings(
     """
     q = quadrant_of(xyz[:, 0], xyz[:, 1])
     n = q.shape[0]
-    # previous VALID point's quadrant (masked-out slots are transparent)
-    idx = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -1)
-    last_valid = jax.lax.cummax(idx)
-    prev_idx = jnp.concatenate([jnp.asarray([-1], jnp.int32), last_valid[:-1]])
-    prev_q = jnp.where(prev_idx >= 0, q[jnp.maximum(prev_idx, 0)], 0)
+    # previous VALID point's quadrant. Packing the quadrant into the low
+    # bits of the scanned index makes ONE cummax deliver it directly —
+    # the previous formulation's gather q[last_valid] cost 0.9 ms/frame at
+    # 131k rows (TPU gathers pay per row; measured r5 HLO profile).
+    idx = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.where(valid, idx * 8 + q, -1)
+    last_packed = jax.lax.cummax(packed)
+    prev_packed = jnp.concatenate([jnp.asarray([-1], jnp.int32), last_packed[:-1]])
+    prev_q = jnp.where(prev_packed >= 0, prev_packed & 7, 0)
     wrap = valid & (q == 1) & (prev_q == 4)
     ring = jnp.minimum(jnp.cumsum(wrap.astype(jnp.int32)), sensor_model - 1)
     m = valid.astype(xyz.dtype)
@@ -124,8 +128,12 @@ def region_ids(
     theta = jnp.degrees(jnp.arctan2(-y, x))
     theta = jnp.where(theta < 0, theta + 360.0, theta)
     quad = jnp.clip((theta / 90.0).astype(jnp.int32), 0, 3)
-    sec = jnp.searchsorted(bounds, r, side="right")
-    sec = jnp.minimum(sec, num_sec - 1).astype(jnp.int32)
+    # num_sec-1 boundary compares instead of searchsorted's binary-search
+    # gather chain (bounds has 3 entries; compares are pure vector ops)
+    sec = jnp.zeros(r.shape, jnp.int32)
+    for b in range(bounds.shape[0]):
+        sec = sec + (r >= bounds[b]).astype(jnp.int32)
+    sec = jnp.minimum(sec, num_sec - 1)
     return quad * num_sec + sec
 
 
@@ -205,6 +213,26 @@ def ground_remove(
     r_norm = jnp.linalg.norm(xyz, axis=-1)
     rank = _rank_in_region(candidate, region, num_regions)
 
+    # Region reductions as MXU matmuls: with only 12 regions, a one-hot
+    # (N,12) mask matmul reads the data in ONE streaming pass instead of an
+    # N-row scatter-add (TPU scatters pay ~1 ms per 131k rows; the matmul is
+    # bandwidth-bound at ~0.05 ms). The one-hot is reused by every reduction
+    # AND every per-point table lookup in this function (a (N,) gather from
+    # a 12-row table costs ~0.6 ms at 131k rows; (N,12)@(12,K) is ~0.05 ms).
+    region_oh = (region[:, None] == jnp.arange(num_regions)[None, :]).astype(dtype)
+
+    def region_sum(cols: jax.Array) -> jax.Array:
+        """(N,K) per-point values -> (12,K) per-region sums, on the MXU."""
+        return jax.lax.dot_general(
+            region_oh, cols, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+
+    def per_point(table: jax.Array) -> jax.Array:
+        """(12,) or (12,K) region table -> per-point values via the MXU
+        (replaces table[region] row gathers)."""
+        return region_oh @ table.astype(dtype)
+
     # --- seed selection (segmentGroundThread :640-663) ---
     sub10 = (
         candidate
@@ -225,21 +253,7 @@ def ground_remove(
     av_height = jnp.sum(jnp.where(low_ok, low_z, 0.0), axis=1) / cnt  # (12,)
     av_height = jnp.where(jnp.sum(low_ok, axis=1) > 0, av_height, 0.0)
 
-    # Region reductions as MXU matmuls: with only 12 regions, a one-hot
-    # (N,12) mask matmul reads the data in ONE streaming pass instead of an
-    # N-row scatter-add (TPU scatters pay ~1 ms per 131k rows; the matmul is
-    # bandwidth-bound at ~0.05 ms). The one-hot is reused by every reduction
-    # in this function, including the refit loop.
-    region_oh = (region[:, None] == jnp.arange(num_regions)[None, :]).astype(dtype)
-
-    def region_sum(cols: jax.Array) -> jax.Array:
-        """(N,K) per-point values -> (12,K) per-region sums, on the MXU."""
-        return jax.lax.dot_general(
-            region_oh, cols, (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-        )
-
-    seed = sub10 & (xyz[:, 2] < av_height[region] + g.dis)
+    seed = sub10 & (xyz[:, 2] < per_point(av_height) + g.dis)
     cand_m = candidate.astype(dtype)
     pre = region_sum(
         jnp.concatenate(
@@ -259,7 +273,7 @@ def ground_remove(
     # meters from the origin (see ops/voxel.anchored_window_moments).
     reg_cnt = jnp.maximum(pre[:, 1], 1.0)
     anchor = pre[:, 2:5] / reg_cnt[:, None]  # (12,3) fixed per-region anchors
-    cxyz = xyz - anchor[region]  # centered coords (small)
+    cxyz = xyz - per_point(anchor)  # centered coords (small)
 
     feats = jnp.concatenate(
         [
@@ -285,7 +299,7 @@ def ground_remove(
     def iter_body(i, carry):
         member, planes = carry
         planes = fit(member)
-        dis = jnp.abs(jnp.sum(hom * planes[region], axis=-1))
+        dis = jnp.abs(jnp.sum(hom * per_point(planes), axis=-1))
         close = candidate & (dis < g.dis)
         # iters before the last re-select every 5th region point (:687-689)
         member_mid = close & (rank % 5 == 0)
@@ -293,7 +307,7 @@ def ground_remove(
         new_member = jnp.where(i < g.max_iter - 1, member_mid, member_last)
         # freeze regions whose member set collapsed (<=3): keep old members
         n_new = region_sum(new_member[:, None].astype(dtype))[:, 0]
-        keep_old = (n_new <= 3)[region]
+        keep_old = per_point(n_new <= 3) > 0.5
         member = jnp.where(keep_old, member, new_member)
         return member, planes
 
@@ -303,8 +317,9 @@ def ground_remove(
     # n.(p - a) + d_rel = 0  ->  d_world = d_rel - n.a
     planes = planes.at[:, 3].add(-jnp.sum(planes[:, :3] * anchor, axis=-1))
 
-    ground_mask = member & region_ok[region]
-    vertical_mask = candidate & ~member & region_ok[region]
+    ok_pp = per_point(region_ok) > 0.5
+    ground_mask = member & ok_pp
+    vertical_mask = candidate & ~member & ok_pp
 
     # estimateRingsAndTimes2 OVERWRITES intensity with the beam id
     # (segmentation.cpp:342-376); the HDL-64E path has no time fraction, so

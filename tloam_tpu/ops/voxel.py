@@ -71,6 +71,27 @@ def _hash2_parts(cx: jax.Array, cy: jax.Array, cz: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def sort_with_payload(key: jax.Array, *cols: jax.Array):
+    """Stable sort of `cols` by int `key` via ONE lax.sort with payload
+    operands. Returns (sorted_key, sorted_cols...).
+
+    Replaces the argsort-then-take idiom: a take at N rows costs ~1 ms per
+    131k rows (TPU gathers pay per row, measured r5 HLO profile) while the
+    sort network carries payload lanes nearly for free (~0.1 ms at the same
+    size) — on TPU, sorting data is an order of magnitude cheaper than
+    permuting it by index."""
+    return jax.lax.sort((key, *cols), dimension=-1, is_stable=True, num_keys=1)
+
+
+def unpermute(order_idx: jax.Array, *cols: jax.Array):
+    """Given values `cols` aligned with a sorted order whose original indices
+    are `order_idx`, return them in original-index order — via a second
+    payload sort instead of an N-row scatter (same cost argument as
+    sort_with_payload)."""
+    out = jax.lax.sort((order_idx, *cols), dimension=-1, is_stable=True, num_keys=1)
+    return out[1:] if len(cols) > 1 else out[1]
+
+
 def voxel_downsample(
     xyz: jax.Array,
     intensity: jax.Array,
@@ -87,32 +108,22 @@ def voxel_downsample(
     prefix — a prefix cut amputates a spatial half-space (measured: scan kept
     x>8.9 while the map kept x<12.6 — zero overlap).
     """
+    n = xyz.shape[0]
+    dtype = xyz.dtype
     coords = _cell_coords(xyz, voxel_size)
     coords = jnp.where(valid[:, None], coords, _SENTINEL)  # invalid sort last
-    # Single-pass sort by the linear cell hash (TPU sorts are expensive);
-    # segment boundaries use the exact coords, so a rare hash collision at
-    # worst splits one voxel's run into two (a few duplicate output points),
-    # never merges distinct voxels.
+    # Single-pass sort by the linear cell hash; segment boundaries use the
+    # exact coords, so a rare hash collision at worst splits one voxel's run
+    # into two (a few duplicate output points), never merges distinct voxels.
+    # Payload-sort (see sort_with_payload): no argsort+take row gathers.
     keys = jnp.where(valid, _hash_coords(coords), _SENTINEL)
-    order = jnp.argsort(keys)
-    # ONE packed (N,8) row-take instead of four separate gathers (TPU gather
-    # cost is per row): [x,y,z,intensity,cx,cy,cz,valid]. Cell coords are
-    # small integers — exact in f32, so boundary comparison stays exact.
-    dtype = xyz.dtype
-    packed = jnp.concatenate(
-        [
-            xyz,
-            intensity[:, None],
-            coords.astype(dtype),
-            valid[:, None].astype(dtype),
-        ],
-        axis=1,
+    _, cx_s, cy_s, cz_s, x_s, y_s, z_s, int_s, vi_s = sort_with_payload(
+        keys, coords[:, 0], coords[:, 1], coords[:, 2],
+        xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity,
+        valid.astype(jnp.int32),
     )
-    packed_s = jnp.take(packed, order, axis=0)
-    xyz_s = packed_s[:, :3]
-    int_s = packed_s[:, 3]
-    coords_s = packed_s[:, 4:7]
-    valid_s = packed_s[:, 7] > 0.5
+    valid_s = vi_s > 0
+    coords_s = jnp.stack([cx_s, cy_s, cz_s], axis=1)
 
     first = jnp.concatenate(
         [
@@ -144,17 +155,138 @@ def voxel_downsample(
         seg_id,
     )
 
-    ones = valid_s.astype(xyz.dtype)
-    # ONE row-scatter: TPU scatter-add pays per row, not per element, so a
-    # packed (N,5) segment_sum costs ~1/5 of five scalar ones
-    vals = jnp.concatenate(
-        [xyz_s * ones[:, None], (int_s * ones)[:, None], ones[:, None]], axis=1
+    # Run reduction WITHOUT a scatter (an N-row scatter-add costs ~1 ms at
+    # 131k rows — r5 HLO profile): per-voxel sums come from an inclusive
+    # cumsum over the sorted stream, differenced at run boundaries. f32
+    # cumsums at this length lose ~eps*|total|*log(n) absolute — meters at
+    # map scale — so the summed quantities are CELL-ANCHORED integer
+    # fixed point: delta = p - cell_origin in [0, cell) quantized so the
+    # worst-case int32 cumsum cannot overflow (exact arithmetic; residual
+    # <= 1/(2*QD) ~ 6e-5 m, far below sensor noise).
+    include = valid_s & (seg_id < max_out)
+    # power-of-two quanta, as fine as the no-overflow bound allows:
+    # worst case |sum| <= n * cell * qd < 2^30 (2x int32 headroom)
+    qd = float(
+        1 << max(0, min(22, int(np.log2((1 << 30) / (n * max(voxel_size, 1e-9))))))
     )
-    sums = jax.ops.segment_sum(vals, seg_id, num_segments=max_out + 1)[:max_out]
-    sum_xyz, sum_int, cnt = sums[:, :3], sums[:, 3], sums[:, 4]
-    out_valid = cnt > 0
+    # intensity bound is data-dependent (reflectance in [0,1] vs ring ids up
+    # to 63): pick the quantum from the actual max so precision adapts
+    imax = jnp.maximum(jnp.max(jnp.where(valid_s, jnp.abs(int_s), 0.0)), 1e-6)
+    qi = jnp.exp2(
+        jnp.clip(jnp.floor(jnp.log2((1 << 30) / (n * imax))), 0.0, 22.0)
+    ).astype(dtype)
+    inc = include.astype(jnp.int32)
+    dxq = jnp.round((x_s - cx_s.astype(dtype) * voxel_size) * qd).astype(jnp.int32) * inc
+    dyq = jnp.round((y_s - cy_s.astype(dtype) * voxel_size) * qd).astype(jnp.int32) * inc
+    dzq = jnp.round((z_s - cz_s.astype(dtype) * voxel_size) * qd).astype(jnp.int32) * inc
+    inq = jnp.round(int_s * qi).astype(jnp.int32) * inc
+    lanes = jnp.stack([dxq, dyq, dzq, inq, inc], axis=1)  # (N,5) int32
+    csum = jnp.cumsum(lanes, axis=0)  # exact int32, overflow-proof by qd/qi
+
+    # positions + cell coords of each included run's FIRST element, compacted
+    # to output order by a second payload sort (seg_id is ascending over
+    # runs, so sorted order == output slot order)
+    big = jnp.asarray(_SENTINEL, jnp.int32)
+    start_key = jnp.where(first & include, seg_id, big)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sk, sp, scx, scy, scz = sort_with_payload(start_key, pos, cx_s, cy_s, cz_s)
+
+    def takepad(a, fill):  # static slice/pad to max_out (n may be < max_out)
+        if a.shape[0] >= max_out:
+            return a[:max_out]
+        return jnp.pad(a, (0, max_out - a.shape[0]), constant_values=fill)
+
+    sk, sp = takepad(sk, _SENTINEL), takepad(sp, 0)
+    scx, scy, scz = takepad(scx, 0), takepad(scy, 0), takepad(scz, 0)
+    out_ok = sk < big
+    starts = jnp.where(out_ok, sp, n)
+    bpos = jnp.concatenate([starts, jnp.asarray([n], jnp.int32)])  # (max_out+1,)
+    # exclusive cumsum at each boundary: rows between runs contribute zero
+    excl = jnp.where(
+        (bpos > 0)[:, None],
+        jnp.take(csum, jnp.maximum(bpos - 1, 0), axis=0),
+        0,
+    )  # (max_out+1, 5) — a max_out-row gather, not an N-row one
+    sums = (excl[1:] - excl[:-1]).astype(dtype)
+    cnt = sums[:, 4]
+    out_valid = out_ok & (cnt > 0)
     denom = jnp.maximum(cnt, 1.0)
-    return sum_xyz / denom[:, None], sum_int / denom, out_valid
+    cell0 = jnp.stack([scx, scy, scz], axis=1).astype(dtype) * voxel_size
+    out_xyz = cell0 + sums[:, :3] / (qd * denom[:, None])
+    out_int = sums[:, 3] / (qi * denom)
+    return (
+        jnp.where(out_valid[:, None], out_xyz, 0.0),
+        jnp.where(out_valid, out_int, 0.0),
+        out_valid,
+    )
+
+
+def voxel_select_top(
+    xyz: jax.Array,
+    intensity: jax.Array,
+    valid: jax.Array,
+    score: jax.Array,
+    voxel_size: float,
+    max_out: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Keep the single highest-`score` ORIGINAL point of each occupied
+    voxel (no averaging): spatial-coverage selection that preserves true
+    surface samples. Sort by (cell hash, descending quantized score); each
+    run's first element is its voxel's winner, compacted to `max_out` slots
+    in hash order (uniform thinning on overflow, like voxel_downsample)."""
+    n = xyz.shape[0]
+    dtype = xyz.dtype
+    coords = _cell_coords(xyz, voxel_size)
+    coords = jnp.where(valid[:, None], coords, _SENTINEL)
+    # 21 high bits of cell hash, 10 low bits of inverted score rank: one
+    # int32 key sorts by (cell, score desc). Hash collisions at 21 bits are
+    # common-ish (2M buckets) — boundaries below still use exact coords, so
+    # a collision only risks picking per half-run (benign).
+    h = _hash_coords(coords) & 0x7FFFFFFF
+    smax = jnp.max(jnp.where(valid, score, -jnp.inf))
+    smin = jnp.min(jnp.where(valid, score, jnp.inf))
+    lo = jnp.where(jnp.isfinite(smin), smin, 0.0)
+    width = jnp.maximum(jnp.where(jnp.isfinite(smax), smax, 1.0) - lo, 1e-12)
+    sq = jnp.clip(((score - lo) / width * 1023.0).astype(jnp.int32), 0, 1023)
+    key = jnp.where(valid, (h >> 10 << 10) | (1023 - sq), _SENTINEL)
+    _, cx_s, cy_s, cz_s, x_s, y_s, z_s, int_s, vi_s = sort_with_payload(
+        key, coords[:, 0], coords[:, 1], coords[:, 2],
+        xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity,
+        valid.astype(jnp.int32),
+    )
+    valid_s = vi_s > 0
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (cx_s[1:] != cx_s[:-1]) | (cy_s[1:] != cy_s[:-1])
+            | (cz_s[1:] != cz_s[:-1]),
+        ]
+    )
+    winner = first & valid_s
+    seg = jnp.cumsum(winner.astype(jnp.int32)) - 1  # winner rank
+    n_cells = jnp.sum(winner)
+    ratio = max_out / jnp.maximum(n_cells, 1).astype(dtype)
+    row = jnp.floor(seg.astype(dtype) * ratio).astype(jnp.int32)
+    prev_row = jnp.floor((seg - 1).astype(dtype) * ratio).astype(jnp.int32)
+    kept = (seg == 0) | (row > prev_row)
+    slot = jnp.where(
+        n_cells > max_out,
+        jnp.where(winner & kept, jnp.minimum(row, max_out - 1), _SENTINEL),
+        jnp.where(winner, seg, _SENTINEL),
+    )
+    sk, ox, oy, oz, oi = sort_with_payload(slot, x_s, y_s, z_s, int_s)
+
+    def takepad(a, fill=0.0):
+        if a.shape[0] >= max_out:
+            return a[:max_out]
+        return jnp.pad(a, (0, max_out - a.shape[0]), constant_values=fill)
+
+    out_ok = takepad(sk, _SENTINEL) < _SENTINEL
+    m = out_ok.astype(dtype)
+    out_xyz = jnp.stack(
+        [takepad(ox) * m, takepad(oy) * m, takepad(oz) * m], axis=1
+    )
+    return out_xyz, takepad(oi) * m, out_ok
 
 
 # ---------------------------------------------------------------------------

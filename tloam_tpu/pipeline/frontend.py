@@ -78,6 +78,24 @@ class PipelineConfig:
     # per-frame submap-class feature capacities (planar/sphere window frames)
     frame_planar_cap: int = 4096
     frame_sphere_cap: int = 1024
+    # submap-class planar COVERAGE FILL: in addition to the flatness top-k
+    # picks, each frame contributes `frame_planar_fill` extra slots holding
+    # the flattest ORIGINAL point of each `frame_planar_voxel` cell over ALL
+    # classified planar points. The reference submap keeps every classified
+    # point (feature_extract.cpp:167-189 submap class; updateSubmap pushes
+    # the full clouds); a flatness-ranked subset re-picks DIFFERENT parts of
+    # the same walls each frame — measured (r5, route-a world 306 f18):
+    # after two occlusion frames the scan's picks sat >= 2.2 m from every
+    # submap planar point (both on the same facades), zero matches at the
+    # TRUE pose, and the solve diverged. The fill is strictly ADDITIVE map
+    # content (replacing the picks wholesale reshuffled the tuned matching
+    # dynamics and regressed other worlds — measured r5). fill=0 disables.
+    frame_planar_fill: int = 0
+    frame_planar_voxel: float = 0.6
+
+    @property
+    def frame_planar_total(self) -> int:
+        return self.frame_planar_cap + self.frame_planar_fill
     # compaction capacity for the object (non-ground) cloud right after
     # ground removal; 0 disables. DCVC, edge extraction, PCA and the feature
     # picks all inherit this capacity, halving every per-point scatter /
@@ -133,6 +151,12 @@ class OdometryState(NamedTuple):
     # consecutive degenerate/misaligned frames (submap health gate — see
     # OdometryConfig.submap_health_gate)
     unhealthy_streak: jax.Array = None  # () int32
+    # consecutive frames whose solve was not VALIDATED (degenerate,
+    # misaligned, or never-aligned) — drives the never-aligned push veto
+    # (OdometryConfig.gate_never_aligned)
+    nev_streak: jax.Array = None  # () int32
+    # consecutive step-clamped frames (OdometryConfig.max_step_accel)
+    imp_streak: jax.Array = None  # () int32
 
 
 # ---------------------------------------------------------------------------
@@ -153,21 +177,21 @@ def preprocess_frame(raw: Cloud, cfg: PipelineConfig) -> ScanFeatures:
     # compaction is stable, so scan order — which the reference's feature
     # caps and ring sequences depend on — is preserved.
     if cfg.general_cap and cfg.general_cap < objects.capacity:
-        packed = jnp.concatenate(
-            [
-                objects.xyz,
-                objects.intensity[:, None],
-                objects.valid[:, None].astype(objects.xyz.dtype),
-                obj_ring[:, None].astype(objects.xyz.dtype),
-            ],
-            axis=1,
+        # stable payload-sort compaction (voxel.sort_with_payload): ONE
+        # lax.sort carries all channels; the previous argsort + (N,6) take
+        # paid ~1 ms of per-row gather at 131k rows (r5 HLO profile)
+        key = (~objects.valid).astype(jnp.int32)
+        _, sx, sy, sz, si, sv, sr = voxel.sort_with_payload(
+            key, objects.xyz[:, 0], objects.xyz[:, 1], objects.xyz[:, 2],
+            objects.intensity, objects.valid.astype(jnp.int32), obj_ring,
         )
-        # stable argsort compaction (measured vs a prefix-sum scatter:
-        # 0.89 ms vs 1.33 ms at this shape — the sort wins on TPU)
-        order = jnp.argsort(~objects.valid, stable=True)[: cfg.general_cap]
-        out = jnp.take(packed, order, axis=0)
-        objects = Cloud(xyz=out[:, :3], intensity=out[:, 3], valid=out[:, 4] > 0.5)
-        obj_ring = out[:, 5].astype(jnp.int32)
+        cap = cfg.general_cap
+        objects = Cloud(
+            xyz=jnp.stack([sx[:cap], sy[:cap], sz[:cap]], axis=1),
+            intensity=si[:cap],
+            valid=sv[:cap] > 0,
+        )
+        obj_ring = sr[:cap]
 
     clusters = dcvc.dcvc_segment(
         objects, cfg.dcvc, cfg.sensor, cfg.max_voxels, cfg.max_clusters,
@@ -214,6 +238,16 @@ def preprocess_frame(raw: Cloud, cfg: PipelineConfig) -> ScanFeatures:
     planar_frame = features.gather_top(
         general_cloud, sel.planar_submap, flat, cfg.frame_planar_cap, sectors=S
     )
+    if cfg.frame_planar_fill:
+        # additive coverage fill (see PipelineConfig.frame_planar_fill):
+        # flattest original point per frame_planar_voxel cell; duplicates
+        # with the picks are harmless (they re-weight cells slightly)
+        pf_mask = sel.planar_submap & general_cloud.valid
+        fx, fi, fv = voxel.voxel_select_top(
+            general_cloud.xyz, general_cloud.intensity, pf_mask, flat,
+            cfg.frame_planar_voxel, cfg.frame_planar_fill,
+        )
+        planar_frame = planar_frame.concat(Cloud(fx, fi, fv))
     sphere_frame = features.gather_top(
         general_cloud, sel.sphere_submap, flat, cfg.frame_sphere_cap, sectors=S
     )
@@ -240,7 +274,7 @@ def empty_submap(cfg: PipelineConfig, dtype=jnp.float32) -> SubmapState:
     od = cfg.odometry
     Wp, Ws = od.planar_frame_size, od.sphere_frame_size
     return SubmapState(
-        planar_frames=Cloud.empty(cfg.frame_planar_cap, dtype, batch=(Wp,)),
+        planar_frames=Cloud.empty(cfg.frame_planar_total, dtype, batch=(Wp,)),
         sphere_frames=Cloud.empty(cfg.frame_sphere_cap, dtype, batch=(Ws,)),
         frame_poses=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (Wp, 4, 4)),
         sphere_poses=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (Ws, 4, 4)),
@@ -391,6 +425,8 @@ def init_state(cfg: PipelineConfig, dtype=jnp.float32) -> OdometryState:
         frame_idx=jnp.asarray(0, jnp.int32),
         global_map=Cloud.empty(map_cap, dtype),
         unhealthy_streak=jnp.asarray(0, jnp.int32),
+        nev_streak=jnp.asarray(0, jnp.int32),
+        imp_streak=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -460,11 +496,30 @@ def _odometry_step_impl(
         unhealthy = diag.degenerate | (
             diag.misaligned if diag.misaligned is not None else jnp.asarray(False)
         )
-        # never-aligned-but-trusted frames (OdometryConfig.gate_never_aligned):
-        # pose kept, but treated as unhealthy for the submap push / rotation
-        # damping / streak — see config.py rationale.
-        if cfg.odometry.gate_never_aligned and diag.never_aligned is not None:
-            unhealthy = unhealthy | diag.never_aligned
+        nev = (
+            diag.never_aligned
+            if diag.never_aligned is not None
+            else jnp.asarray(False)
+        )
+        # physical step clamp (OdometryConfig.max_step_accel): see config.py
+        if cfg.odometry.max_step_accel:
+            pred_speed = jnp.linalg.norm(
+                (se3.inv(st.pose) @ st.predict)[:3, 3]
+            )
+            step_t = jnp.linalg.norm((se3.inv(st.last_pose) @ pose)[:3, 3])
+            cap = pred_speed + cfg.odometry.max_step_accel * (
+                1.0 + st.imp_streak.astype(pred_speed.dtype)
+            )
+            # startup exemption (same epistemics as allow_fb): at frame 1
+            # the motion model has zero velocity — the first real step
+            # always "exceeds" it, and clamping it dead-reckons from
+            # identity (measured: 1.6 m of drift by frame 10 on the canary)
+            implausible = (step_t > cap) & (st.frame_idx > 1)
+            pose = jnp.where(implausible, st.predict.astype(pose.dtype), pose)
+            unhealthy = unhealthy | implausible
+            imp_streak = jnp.where(implausible, st.imp_streak + 1, 0)
+        else:
+            imp_streak = st.imp_streak
         # constant-velocity prediction (front_end.cpp:329-332). On unhealthy
         # frames the solved pose IS the prediction, so the same step would
         # re-apply verbatim — decay its rotation (see
@@ -489,8 +544,24 @@ def _odometry_step_impl(
         # above must fire even with the submap gate disabled (else misaligned
         # fallback / rotation damping can persist indefinitely in that config)
         streak = jnp.where(unhealthy, st.unhealthy_streak + 1, 0)
+        # never-aligned push veto (OdometryConfig.gate_never_aligned): a
+        # never-aligned-but-trusted solve may carry an undetected basin
+        # error; its features must not extend the map while re-validation is
+        # still plausible. The veto covers only the FIRST submap_gate_streak
+        # consecutive unvalidated frames: on worlds where the alignment gate
+        # is chronically unattainable (low structural match fraction —
+        # route-a world 407 never passes it while tracking at 0.07 m drift),
+        # a permanent veto would freeze the map, and treating such frames as
+        # unhealthy (rot decay + fallback veto) dead-reckoned through whole
+        # turns (measured r5: 20 deg of heading lost). nev frames therefore
+        # do NOT touch rotation damping or the fallback streak.
+        nev_streak = jnp.where(nev | unhealthy, st.nev_streak + 1, 0)
         if cfg.odometry.submap_health_gate:
             push = (~unhealthy) | (streak >= cfg.odometry.submap_gate_streak)
+            if cfg.odometry.gate_never_aligned:
+                push = push & ~(
+                    nev & (nev_streak <= cfg.odometry.submap_gate_streak)
+                )
             new_submap = jax.tree.map(
                 lambda new, old: jnp.where(push, new, old),
                 new_submap,
@@ -510,6 +581,8 @@ def _odometry_step_impl(
                 frame_idx=st.frame_idx + 1,
                 global_map=gmap,
                 unhealthy_streak=streak,
+                nev_streak=nev_streak,
+                imp_streak=imp_streak,
             ),
             pose,
             diag,

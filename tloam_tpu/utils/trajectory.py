@@ -41,19 +41,25 @@ def _first_frame_past(dist: np.ndarray, start: int, length: float) -> int:
 
 
 def kitti_odometry_errors(
-    gt: np.ndarray, est: np.ndarray, step: int = 10
-) -> tuple[float, float]:
+    gt: np.ndarray,
+    est: np.ndarray,
+    step: int = 10,
+    lengths=None,
+    return_count: bool = False,
+):
     """KITTI benchmark: average translational error (%) and rotational error
     (deg/100m) over all (start, length) segment pairs.
 
-    Returns (t_err_percent, r_err_deg_per_100m).
-    """
+    Returns (t_err_percent, r_err_deg_per_100m) — plus the contributing
+    segment count when `return_count`. `lengths` restricts the segment
+    lengths (default: the standard 100..800 m set)."""
     n = min(len(gt), len(est))
     gt, est = gt[:n], est[:n]
     dist = trajectory_distances(gt)
+    seg_lengths = SEGMENT_LENGTHS if lengths is None else tuple(lengths)
     t_errs, r_errs = [], []
     for start in range(0, n, step):
-        for length in SEGMENT_LENGTHS:
+        for length in seg_lengths:
             end = _first_frame_past(dist, start, length)
             if end < 0:
                 break
@@ -64,8 +70,10 @@ def kitti_odometry_errors(
             cos_r = np.clip((np.trace(err[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
             r_errs.append(np.degrees(np.arccos(cos_r)) / length * 100.0)
     if not t_errs:
-        return float("nan"), float("nan")
-    return 100.0 * float(np.mean(t_errs)), float(np.mean(r_errs))
+        out = (float("nan"), float("nan"))
+        return out + (0,) if return_count else out
+    out = (100.0 * float(np.mean(t_errs)), float(np.mean(r_errs)))
+    return out + (len(t_errs),) if return_count else out
 
 
 def umeyama_alignment(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
