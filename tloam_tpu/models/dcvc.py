@@ -243,34 +243,30 @@ def dcvc_segment(
     MAXI = jnp.iinfo(jnp.int16).max
     label = init_label
 
+    def _win_min(d3, axis):
+        # separable 3-wide min as ONE lax.reduce_window per axis (the
+        # previous concatenate-shift formulation materialized ~6 full-volume
+        # copies per axis — XLA's cost model charged the whole CC stage
+        # 4.9 GB of traffic, r5 ROOFLINE)
+        win = [1, 1, 1]
+        win[axis] = 3
+        return jax.lax.reduce_window(
+            d3, jnp.asarray(MAXI, jnp.int16), jax.lax.min,
+            tuple(win), (1, 1, 1), "SAME",
+        )
+
     def box_min_pass(d3):
-        # pitch (axis 0, clamped): empty boundary
-        top = jnp.full((1,) + dense_shape[1:], MAXI, jnp.int16)
-        d3 = jnp.minimum(
-            d3,
-            jnp.minimum(
-                jnp.concatenate([d3[1:], top], axis=0),
-                jnp.concatenate([top, d3[:-1]], axis=0),
-            ),
-        )
-        # azimuth (axis 1, cyclic over the `width` real columns)
+        # pitch (axis 0, clamped): SAME-padding identity = MAXI
+        d3 = _win_min(d3, 0)
+        # azimuth (axis 1, cyclic over the `width` real columns): wrap one
+        # column each side, window-min, then restore the padded tail
         da = d3[:, :width, :]
-        da = jnp.minimum(
-            da,
-            jnp.minimum(jnp.roll(da, 1, axis=1), jnp.roll(da, -1, axis=1)),
-        )
+        da = jnp.concatenate([da[:, -1:, :], da, da[:, :1, :]], axis=1)
+        da = _win_min(da, 1)[:, 1 : width + 1, :]
         pad = jnp.full((_PITCH_CAP, A - width, _POLAR_CAP), MAXI, jnp.int16)
         d3 = jnp.concatenate([da, pad], axis=1)
         # polar (axis 2, clamped)
-        side = jnp.full(dense_shape[:2] + (1,), MAXI, jnp.int16)
-        d3 = jnp.minimum(
-            d3,
-            jnp.minimum(
-                jnp.concatenate([d3[:, :, 1:], side], axis=2),
-                jnp.concatenate([side, d3[:, :, :-1]], axis=2),
-            ),
-        )
-        return d3
+        return _win_min(d3, 2)
 
     # Sparse ops (scatter/gather over V rows) dominate a round at ~0.2 ms
     # each; the dense shift-min pass is ~0.1 ms. Running `dense_passes` dense
