@@ -152,3 +152,48 @@ def test_voxel_downsample_overflow_thins_uniformly(rng):
         xyz, jnp.zeros(n), jnp.ones(n, bool), 5.0, cap
     )
     assert int(np.asarray(v2).sum()) == 400
+
+
+def test_sort_with_payload_and_unpermute(rng):
+    key = jnp.asarray(rng.integers(0, 50, size=(300,)), jnp.int32)
+    val = jnp.asarray(rng.normal(size=(300,)).astype(np.float32))
+    idx = jnp.arange(300, dtype=jnp.int32)
+    ks, vs, ids = jax.jit(voxel.sort_with_payload)(key, val, idx)
+    order = np.argsort(np.asarray(key), kind="stable")
+    assert np.array_equal(np.asarray(ks), np.asarray(key)[order])
+    assert np.array_equal(np.asarray(vs), np.asarray(val)[order])
+    assert np.array_equal(np.asarray(ids), order)
+    # unpermute restores original order
+    back = jax.jit(voxel.unpermute)(ids, vs)
+    assert np.array_equal(np.asarray(back), np.asarray(val))
+
+
+def test_voxel_select_top_keeps_best_original_point(rng):
+    n = 400
+    xyz = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    inten = rng.uniform(size=(n,)).astype(np.float32)
+    score = rng.uniform(size=(n,)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[380:] = False
+    vs = 1.0
+    ox, oi, ov = jax.jit(
+        lambda a, b, c, s: voxel.voxel_select_top(a, b, c, s, vs, 256)
+    )(jnp.asarray(xyz), jnp.asarray(inten), jnp.asarray(valid), jnp.asarray(score))
+    ox, oi, ov = np.asarray(ox), np.asarray(oi), np.asarray(ov)
+    out = ox[ov]
+    # brute-force winners per voxel (score quantized to the op's 10 bits so
+    # in-bin ties resolve identically by scan order)
+    from collections import defaultdict
+    best = {}
+    smin, smax = score[valid].min(), score[valid].max()
+    q = np.clip(((score - smin) / max(smax - smin, 1e-12) * 1023).astype(int), 0, 1023)
+    for i in range(380):
+        key = tuple(np.floor(xyz[i] / vs).astype(int))
+        if key not in best or q[i] > q[best[key]]:
+            best[key] = i
+    want = {tuple(np.round(xyz[i], 4)) for i in best.values()}
+    got = {tuple(np.round(p, 4)) for p in out}
+    # every output is an ORIGINAL point that is its voxel's winner
+    assert got <= {tuple(np.round(xyz[i], 4)) for i in range(380)}
+    assert len(got & want) >= int(0.95 * len(want))  # rare 21-bit hash splits
+    assert len(out) == len({tuple(np.floor(p / vs + 1e-6).astype(int)) for p in out})

@@ -329,3 +329,13 @@ def test_edge_pallas_kernel_parity(rng, monkeypatch):
     assert e_xla.sum() > 20  # the scene actually produces edges
     assert np.array_equal(e_xla, e_pal)
     assert np.array_equal(g_xla, g_pal)
+
+
+def test_matmul_histogram_vs_bincount():
+    from tloam_tpu.models.features import matmul_histogram
+
+    rng = np.random.default_rng(3)
+    key = rng.integers(-5, 1100, size=(5000,)).astype(np.int32)
+    hist = np.asarray(jax.jit(lambda k: matmul_histogram(k, 1024))(jnp.asarray(key)))
+    ref = np.bincount(key[(key >= 0) & (key < 1024)], minlength=1024)
+    assert np.array_equal(hist, ref)

@@ -103,6 +103,8 @@ class PipelineConfig:
     # removal). Overflow drops the valid tail. 49152 = ~1.6x headroom over
     # the measured 23-30k surviving objects on 64-ring town/urban scans
     # (measured r4; the cut is worth ~5 ms/frame across DCVC/edge/PCA).
+    # r5 probed 40960: town frames exceed it (pose diffs appear), so the
+    # extra 17% is NOT free — keep 49152.
     general_cap: int = 49152
     # dense edge-pick ring width (see models/edge.extract_edges): 2304 lanes
     # covers HDL-64's ~2200 max returns per ring at ~55% of the 4096 cost
