@@ -158,6 +158,17 @@ class TLSConfig:
     # addSurfCostFactor) or "gicp" (its PlaneToPlaneErr/addSurfCostFactor2
     # covariance-weighted variant, registration.cpp:119-160,649-702)
     plane_residual: str = "point_to_plane"
+    # GICP alignment gate (metres): mean matched nearest-neighbor distance
+    # at the round's INPUT pose. gicp has no point-to-plane cost gate, and
+    # without one GNC engaged on round 0 of a cold start — immediately
+    # truncating the large (1 m-offset) residuals that carry the whole
+    # correction signal, so the solve under-moved ~0.15 m/frame and froze
+    # (MODES_r04/r05 gicp: ATE 12-15 m on the 60-frame 1 m/frame drive).
+    # Rounds whose mean matched distance exceeds this are treated as
+    # misaligned: GNC stays off (pure unweighted GICP pulls at full signal)
+    # and the next round goes coarse (+ yaw fan). Healthy gicp tracking
+    # measures ~0.02 m.
+    gicp_align_dist: float = 0.1
     # GICP-mode noise bound (GNC eps, in the GICP residual scale). The
     # metric noise_bound (0.01 m) is meaningless for GICP residuals
     # r = (C_t + R C_s R^T)^-1 d: covariances are normalized to unit max

@@ -1304,7 +1304,19 @@ def scan_matching(
                 & (ncorr[0] > 0) & ~use_coarse & ~revert & ~revert_starved
             )
         else:
-            aligned = (ncorr[0] > 0) & ~use_coarse & ~revert
+            # gicp alignment gate (TLSConfig.gicp_align_dist): metric mean
+            # matched NN distance at the round's INPUT pose — the
+            # point-to-plane cost gate's scale-free equivalent. Gates both
+            # GNC engagement (truncating 1 m-offset residuals kills the
+            # cold-start correction signal) and, via ~aligned, the coarse/
+            # yaw-fan trigger.
+            pw_in = se3.transform(se3.exp(xi_in), scan.planar.xyz)
+            nn_d = jnp.linalg.norm(pw_in - corr.plane_n, axis=-1)
+            mean_nn = _psum(
+                jnp.sum(jnp.where(corr.plane_valid, nn_d, 0.0)), axis_name
+            ) / jnp.maximum(ncorr[0], 1)
+            gicp_aligned = mean_nn <= cfg.gicp_align_dist
+            aligned = (ncorr[0] > 0) & gicp_aligned & ~use_coarse & ~revert
             gnc_ok = aligned
 
         # mu initialisation on the first GNC-eligible fine round (reference:
